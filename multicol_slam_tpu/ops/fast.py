@@ -1,0 +1,127 @@
+"""Dense FAST-9/16 corner detection + grid-uniform top-K selection.
+
+TPU-native replacement for the reference's per-cell FAST/AGAST + octree
+redistribution (`mdBRIEFextractorOct.cpp:631-976 ComputeKeyPointsOctTree /
+DistributeOctTree`). Instead of data-dependent recursion, we compute the FAST
+corner predicate *densely* for every pixel with 16 shifted image views and a
+bit-trick contiguous-arc test, 3x3 NMS, then enforce spatial uniformity with a
+fixed-shape per-cell top-k followed by a global top-N — equivalent capability
+(uniformly distributed, response-ranked corners) in fully static shapes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Bresenham circle of radius 3 (dx, dy), the standard FAST-16 ring, clockwise.
+FAST_RING = np.array(
+    [
+        (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+        (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+    ],
+    np.int32,
+)
+
+
+def _ring_views(img: jnp.ndarray) -> jnp.ndarray:
+    """Stack the 16 ring-shifted copies: out[i, c, y, x] = img[c, y+dy_i, x+dx_i]
+    (wrap at borders; detections are border-masked by the caller)."""
+    views = [jnp.roll(img, shift=(-int(dy), -int(dx)), axis=(1, 2)) for dx, dy in FAST_RING]
+    return jnp.stack(views, axis=0)
+
+
+def _has_arc9(bits: jnp.ndarray) -> jnp.ndarray:
+    """bits: int32 bitmask arrays (low 16 bits = ring predicate). True where a
+    circular run of >= 9 consecutive set bits exists. Classic doubled-mask
+    trick: m = bits | bits<<16; AND of 9 successively shifted copies."""
+    m = bits | (bits << 16)
+    r = m
+    for i in range(1, 9):
+        r = r & (m >> i)
+    return (r & 0xFFFF) != 0
+
+
+def fast_corners(
+    img: jnp.ndarray, threshold: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense FAST-9/16 on [C, H, W] float images.
+
+    Returns (is_corner [C,H,W] bool, score [C,H,W] f32) where score is the
+    FAST sum-of-abs-differences over the qualifying arc's pixels (the common
+    FAST score; used when settings.score_type==1 and as NMS tiebreak).
+    """
+    ring = _ring_views(img)            # [16, C, H, W]
+    center = img[None]
+    bright = ring > center + threshold
+    dark = ring < center - threshold
+    # pack predicates into int32 bitmasks
+    weights = (1 << np.arange(16)).astype(np.int32)
+    wb = jnp.asarray(weights).reshape(16, 1, 1, 1)
+    bright_bits = jnp.sum(bright.astype(jnp.int32) * wb, axis=0)
+    dark_bits = jnp.sum(dark.astype(jnp.int32) * wb, axis=0)
+    is_corner = _has_arc9(bright_bits) | _has_arc9(dark_bits)
+    # score: sum over ring of |v - c| - t for pixels passing the predicate
+    diff = jnp.abs(ring - center) - threshold
+    score_b = jnp.sum(jnp.where(bright, diff, 0.0), axis=0)
+    score_d = jnp.sum(jnp.where(dark, diff, 0.0), axis=0)
+    score = jnp.maximum(score_b, score_d)
+    return is_corner, score
+
+
+def border_mask(h: int, w: int, border: int, dtype=jnp.bool_) -> jnp.ndarray:
+    m = jnp.zeros((h, w), jnp.bool_)
+    if h > 2 * border and w > 2 * border:
+        m = m.at[border : h - border, border : w - border].set(True)
+    return m
+
+
+def select_topk_grid(
+    score: jnp.ndarray,
+    valid: jnp.ndarray,
+    k_total: int,
+    cell: int = 32,
+    k_per_cell: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Spatially-uniform top-k: cap detections per cell x cell tile, then take
+    the global top k_total. The static-shape analogue of DistributeOctTree.
+
+    score [C, H, W] (-inf where invalid), valid [C, H, W] bool.
+    Returns (uv [C, k_total, 2] int32, resp [C, k_total], ok [C, k_total]).
+    """
+    C, H, W = score.shape
+    s = jnp.where(valid, score, -jnp.inf)
+    Hp = -(-H // cell) * cell
+    Wp = -(-W // cell) * cell
+    s = jnp.pad(s, ((0, 0), (0, Hp - H), (0, Wp - W)), constant_values=-jnp.inf)
+    gh, gw = Hp // cell, Wp // cell
+    # [C, gh, gw, cell*cell]
+    tiles = s.reshape(C, gh, cell, gw, cell).transpose(0, 1, 3, 2, 4).reshape(C, gh, gw, cell * cell)
+    cell_scores, cell_idx = jax.lax.top_k(tiles, k_per_cell)  # [C, gh, gw, k]
+    # reconstruct absolute pixel coords for the per-cell winners
+    iy = cell_idx // cell
+    ix = cell_idx % cell
+    base_y = (jnp.arange(gh) * cell)[None, :, None, None]
+    base_x = (jnp.arange(gw) * cell)[None, None, :, None]
+    abs_y = (iy + base_y).reshape(C, -1)
+    abs_x = (ix + base_x).reshape(C, -1)
+    flat_scores = cell_scores.reshape(C, -1)
+    top_scores, top_i = jax.lax.top_k(flat_scores, k_total)
+    uv = jnp.stack(
+        [jnp.take_along_axis(abs_x, top_i, 1), jnp.take_along_axis(abs_y, top_i, 1)], axis=-1
+    ).astype(jnp.int32)
+    ok = jnp.isfinite(top_scores)
+    return uv, jnp.where(ok, top_scores, 0.0), ok
+
+
+def level_quota(n_features: int, n_levels: int, scale_factor: float) -> np.ndarray:
+    """Per-level feature budget, geometric in 1/scale (the ORB-style
+    mnFeaturesPerLevel distribution, mdBRIEFextractorOct.cpp:168-180)."""
+    factor = 1.0 / scale_factor
+    first = n_features * (1.0 - factor) / (1.0 - factor ** n_levels)
+    quota = np.round(first * factor ** np.arange(n_levels)).astype(np.int32)
+    quota[-1] = max(int(n_features - quota[:-1].sum()), 0)
+    return quota

@@ -1,0 +1,173 @@
+"""Per-frame multi-camera feature extraction (the cMultiFrame front half).
+
+Replaces `mdBRIEFextractorOct::operator()` (/root/reference/src/
+mdBRIEFextractorOct.cpp:1244-1337) + the per-camera OpenMP loop in the
+cMultiFrame ctor (cMultiFrame.cpp:92-184). The whole rig is ONE jitted
+program: pyramids, dense FAST, Harris scoring, grid top-K, IC angles, and
+descriptors for all cameras and all levels execute as a single XLA graph on
+device — the camera axis is a tensor dimension, not a thread.
+
+Output is a fixed-capacity `FrameFeatures` pytree: K = n_features slots per
+camera, with a validity mask (padding discipline per SURVEY.md §7).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multicol_slam_tpu.models.camera import OmniCamera, img_to_world, in_mirror_mask
+from multicol_slam_tpu.models.rig import MultiCamRig
+from multicol_slam_tpu.ops import fast as fast_ops
+from multicol_slam_tpu.ops import image as image_ops
+from multicol_slam_tpu.ops import brief as brief_ops
+from multicol_slam_tpu.utils.config import ExtractorSettings
+
+EDGE_BORDER = 19  # EDGE_THRESHOLD-ish detection border (keypoint patch safety)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class FrameFeatures:
+    """All features of one multi-camera frame, padded to [C, K].
+
+    uv       [C, K, 2] f32  level-0 pixel coords
+    response [C, K]    f32
+    octave   [C, K]    i32  pyramid level
+    angle    [C, K]    f32  radians
+    rays     [C, K, 3] f32  unit rays (mvKeysRays, cMultiFrame.h:92-95)
+    desc     [C, K, B] u8   binary descriptors
+    dmask    [C, K, B] u8   mdBRIEF stability masks (0xFF when unused)
+    valid    [C, K]    bool
+    """
+
+    uv: jnp.ndarray
+    response: jnp.ndarray
+    octave: jnp.ndarray
+    angle: jnp.ndarray
+    rays: jnp.ndarray
+    desc: jnp.ndarray
+    dmask: jnp.ndarray
+    valid: jnp.ndarray
+
+    def tree_flatten(self):
+        return (
+            (self.uv, self.response, self.octave, self.angle, self.rays, self.desc, self.dmask, self.valid),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n_cams(self):
+        return self.uv.shape[0]
+
+    @property
+    def k(self):
+        return self.uv.shape[1]
+
+
+def _extract_level(
+    level_img: jnp.ndarray,
+    blurred: jnp.ndarray,
+    cams: OmniCamera,
+    settings: ExtractorSettings,
+    level: int,
+    quota: int,
+    fast_th: float,
+):
+    """Detect + describe on one pyramid level for all cameras.
+
+    level_img [C, h, w] raw; blurred [C, h, w] box-filtered (descriptors are
+    sampled from the blurred image, detection from the raw one —
+    mdBRIEFextractorOct.cpp:1301 order). Returns per-level padded outputs
+    [C, quota, ...].
+    """
+    C, h, w = level_img.shape
+    is_corner, fast_score = fast_ops.fast_corners(level_img, fast_th)
+    if settings.score_type == 0:
+        score = image_ops.harris_response(level_img)
+        score = jnp.where(is_corner, score, -jnp.inf)
+    else:
+        score = jnp.where(is_corner, fast_score, -jnp.inf)
+    # NMS on the detection score
+    nms = score >= image_ops.max_pool_3x3(score)
+    bmask = fast_ops.border_mask(h, w, EDGE_BORDER)[None]
+    # mirror mask at this level (analytic, per camera)
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    grid_uv = jnp.stack([xx, yy], -1)[None].repeat(C, 0)  # [C, h, w, 2]
+    cam_ids = jnp.arange(C)[:, None, None]
+    mmask = in_mirror_mask(cams, cam_ids, grid_uv, level)
+    valid = nms & bmask & mmask & jnp.isfinite(score)
+    uv_l, resp, ok = fast_ops.select_topk_grid(score, valid, quota)
+    # orientation + descriptors per camera (vmap over the camera axis)
+    def per_cam(img_raw, img_blur, uv_c, pol, invpol, cde, pp):
+        ang = brief_ops.ic_angles(img_raw, uv_c)
+        if settings.use_mdbrief:
+            scale = settings.scale_factor ** level
+            a0 = pol[0]
+            undist = brief_ops.undistort_keypoints(pol, cde, pp, a0, uv_c.astype(jnp.float32) * scale)
+            desc, dmask = brief_ops.compute_dbrief(
+                img_blur, uv_c, undist, ang, invpol, cde, pp, a0,
+                settings.desc_size, bool(settings.learn_masks),
+            )
+        else:
+            desc = brief_ops.compute_orb(img_blur, uv_c, ang, settings.desc_size)
+            dmask = jnp.full(desc.shape, 255, jnp.uint8)
+        return ang, desc, dmask
+
+    ang, desc, dmask = jax.vmap(per_cam)(
+        level_img, blurred, uv_l, cams.pol, cams.invpol, cams.cde, cams.pp
+    )
+    scale = settings.scale_factor ** level
+    uv0 = uv_l.astype(jnp.float32) * scale
+    octave = jnp.full(resp.shape, level, jnp.int32)
+    return uv0, resp, octave, ang, desc, dmask, ok
+
+
+def extract_features(
+    images: jnp.ndarray,
+    cams: OmniCamera,
+    settings: ExtractorSettings,
+    n_features: Optional[int] = None,
+    fast_th: Optional[float] = None,
+) -> FrameFeatures:
+    """Full multi-camera extraction. images [C, H, W] float32 in [0, 255].
+
+    Pure function of its inputs — wrap in jax.jit (shapes are static per
+    (H, W, settings)). K slots = n_features (or the init-mode override,
+    cTracking.cpp:152-158 doubles features at init with fast_th=5).
+    """
+    n_feats = int(n_features or settings.n_features)
+    th = float(fast_th if fast_th is not None else settings.fast_th)
+    C, H, W = images.shape
+    pyr = image_ops.build_pyramid(images, settings.n_levels, settings.scale_factor)
+    quotas = fast_ops.level_quota(n_feats, settings.n_levels, settings.scale_factor)
+    outs = []
+    for lvl, img_l in enumerate(pyr):
+        blurred = image_ops.box_filter(img_l, 5)
+        outs.append(
+            _extract_level(img_l, blurred, cams, settings, lvl, int(quotas[lvl]), th)
+        )
+    uv = jnp.concatenate([o[0] for o in outs], axis=1)
+    resp = jnp.concatenate([o[1] for o in outs], axis=1)
+    octave = jnp.concatenate([o[2] for o in outs], axis=1)
+    ang = jnp.concatenate([o[3] for o in outs], axis=1)
+    desc = jnp.concatenate([o[4] for o in outs], axis=1)
+    dmask = jnp.concatenate([o[5] for o in outs], axis=1)
+    ok = jnp.concatenate([o[6] for o in outs], axis=1)
+    # unit rays in each camera frame (cMultiFrame.cpp:138-158)
+    cam_ids = jnp.arange(C)[:, None]
+    rays = img_to_world(cams.pol[cam_ids], cams.cde[cam_ids], cams.pp[cam_ids], uv)
+    return FrameFeatures(uv, resp, octave, ang, rays, desc, dmask, ok)
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "n_features", "fast_th"))
+def extract_features_jit(images, cams, settings, n_features=None, fast_th=None):
+    return extract_features(images, cams, settings, n_features, fast_th)
