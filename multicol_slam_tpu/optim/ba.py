@@ -145,7 +145,7 @@ def optimize_sim3(
         if fix_scale:
             J = J.at[..., 6].set(0.0)
         H = jnp.einsum("nij,n,nik->jk", J, w, J) + 1e-6 * jnp.eye(7)
-        g = jnp.einsum("nij,n,ni->j", J, w, r)
+        g = -jnp.einsum("nij,n,ni->j", J, w, r)
         return v7 + jnp.linalg.solve(H, g[:, None])[:, 0]
 
     v7 = jax.lax.fori_loop(0, n_iters, gn_step, v7_init)

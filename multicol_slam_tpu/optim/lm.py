@@ -78,11 +78,12 @@ def _axpy(alpha, x: BAParams, y: BAParams) -> BAParams:
 
 
 def _build_grad_and_blocks(params, obs, Jp, Jx, Jm, Ji, w, r):
-    """Gradient g = J^T W r and block-diagonal (preconditioner) terms."""
+    """RHS g = -J^T W r (the Gauss-Newton descent direction for residual
+    r = measured - predicted) and block-diagonal (preconditioner) terms."""
     K = params.poses.shape[0]
     P = params.points.shape[0]
     C = params.mc.shape[0]
-    wr = w[:, None] * r  # [O, 2]
+    wr = -(w[:, None] * r)  # [O, 2]
     g_pose = jnp.zeros((K, 6)).at[obs.kf].add(jnp.einsum("oij,oi->oj", Jp, wr))
     g_pt = jnp.zeros((P, 3)).at[obs.pt].add(jnp.einsum("oij,oi->oj", Jx, wr))
     g_mc = jnp.zeros((C, 6)).at[obs.cam].add(jnp.einsum("oij,oi->oj", Jm, wr))
@@ -254,7 +255,7 @@ def pose_only_solve(
         p, lam_i = carry
         r, z, Jp, _, _, _ = residuals_and_jacobians(p, obs)
         w, _ = huber_weights(r, z, obs, huber_delta)
-        g = jnp.zeros((K, 6)).at[obs.kf].add(jnp.einsum("oij,oi->oj", Jp, w[:, None] * r))
+        g = jnp.zeros((K, 6)).at[obs.kf].add(jnp.einsum("oij,oi->oj", Jp, -(w[:, None] * r)))
         H = jnp.zeros((K, 6, 6)).at[obs.kf].add(jnp.einsum("oia,o,oib->oab", Jp, w, Jp))
         Hd = H + (lam_i * jnp.maximum(jnp.diagonal(H, axis1=-2, axis2=-1), 1e-8))[..., None] * jnp.eye(6) + 1e-8 * jnp.eye(6)
         delta = jnp.linalg.solve(Hd, g[..., None])[..., 0]
