@@ -1,0 +1,105 @@
+"""Lafida runner CLI — argument-compatible with the reference binary.
+
+Usage (mult_col_slam_lafida.cpp:63-164):
+    python -m multicol_slam_tpu.cli <path_to_vocabulary> <path_to_settings>
+                                    <path_to_calibrations> <path_to_sequence>
+
+Reads `<sequence>/images_and_timestamps.txt` (one line per frame:
+`timestamp img0 img1 img2`, :167-198), tracks every frame in
+[traj.StartFrame, traj.EndFrame), prints per-frame timing stats at exit
+(:150-158 median/mean), and writes `MKFTrajectoryLAFIDA.txt` in the Lafida
+TUM format (cSystem.cpp:260-290).
+
+Image loading uses imageio when available, else PPM/PGM via numpy; grayscale
+conversion follows Camera.RGB.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import List, Tuple
+
+import numpy as np
+
+
+def load_image_list(path2imgs: str, start: int, end: int) -> Tuple[List[float], List[List[str]]]:
+    fn = os.path.join(path2imgs, "images_and_timestamps.txt")
+    stamps: List[float] = []
+    files: List[List[str]] = []
+    with open(fn) as f:
+        for cnt, line in enumerate(f, start=1):
+            if cnt < start or (end > 0 and cnt >= end):
+                continue
+            parts = line.split()
+            if len(parts) < 4:
+                break
+            stamps.append(float(parts[0]))
+            files.append([os.path.join(path2imgs, p) for p in parts[1:4]])
+    return stamps, files
+
+
+def load_gray(path: str) -> np.ndarray:
+    try:
+        import imageio.v3 as iio
+
+        img = iio.imread(path)
+    except ImportError:
+        from PIL import Image  # pillow fallback
+
+        img = np.asarray(Image.open(path))
+    if img.ndim == 3:
+        img = img @ np.asarray([0.299, 0.587, 0.114])
+    return img.astype(np.float32)
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) != 4:
+        print(__doc__)
+        return 1
+    voc_path, settings_path, calib_dir, seq_dir = argv
+
+    from multicol_slam_tpu.slam.system import MultiColSLAM, WORKING
+    from multicol_slam_tpu.utils.config import load_rig, load_slam_settings
+
+    settings = load_slam_settings(settings_path)
+    rig = load_rig(calib_dir)
+    voc = None
+    if os.path.isfile(voc_path):
+        try:
+            from multicol_slam_tpu.models.vocab import load_dbow2_yaml
+
+            voc = load_dbow2_yaml(voc_path)
+            print(f"loaded vocabulary: {voc.n_words} words (k={voc.k}, L={voc.depth})")
+        except Exception as e:  # self-trained fallback inside LoopCloser
+            print(f"vocabulary load failed ({e}); loop closer will self-train")
+    slam = MultiColSLAM(rig, settings)
+    if voc is not None and slam.loop_closer is not None:
+        from multicol_slam_tpu.models.vocab import KeyFrameDatabase
+
+        slam.loop_closer.voc = voc
+        slam.loop_closer.db = KeyFrameDatabase(voc)
+
+    stamps, files = load_image_list(seq_dir, settings.traj_start_frame, settings.traj_end_frame)
+    print(f"tracking {len(stamps)} frames ...")
+    times = []
+    for i, (t, imgs) in enumerate(zip(stamps, files)):
+        images = np.stack([load_gray(p) for p in imgs])
+        t0 = time.perf_counter()
+        m = slam.track(images=images, timestamp=t)
+        times.append(time.perf_counter() - t0)
+        if i % 50 == 0:
+            print(f"frame {i}: state={m.state} inliers={m.n_inliers} {times[-1]*1e3:.1f} ms")
+    slam.shutdown()
+    out = "MKFTrajectoryLAFIDA.txt"
+    slam.save_trajectory(out)
+    times = np.asarray(times)
+    print(f"median tracking time: {np.median(times)*1e3:.2f} ms")
+    print(f"mean tracking time:   {np.mean(times)*1e3:.2f} ms")
+    print(f"trajectory written to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,156 @@
+"""Synthetic multi-camera world generator (test oracle + benchmarks).
+
+Generates a known trajectory + 3-D landmarks with stable binary descriptors
+and synthesizes per-frame FrameFeatures by projecting through the full rig
+model — exercising everything downstream of pixel-level extraction
+(SURVEY.md §4e: 'miniature synthetic rig sequence (known trajectory)
+end-to-end ATE ~ 0').
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multicol_slam_tpu.models.camera import OmniCamera, in_mirror_mask
+from multicol_slam_tpu.models.rig import MultiCamRig
+from multicol_slam_tpu.slam.features import FrameFeatures
+from multicol_slam_tpu.utils.geometry import cayley_to_hom, hom_inverse, hom_to_cayley
+
+
+def make_synthetic_rig(n_cams: int = 3, w: int = 256, h: int = 192) -> MultiCamRig:
+    """Mild-fisheye rig with cameras offset/rotated from the body frame.
+    The inverse polynomial is FIT from the forward one (self-consistent
+    projection round trip — see camera.fit_inverse_poly)."""
+    from multicol_slam_tpu.models.camera import fit_inverse_poly
+
+    # z(rho) = 60 - rho^2/60: horizon (theta=0) at rho=60 px, FOV ~145 deg —
+    # the whole landmark ring around the rig stays inside the mirror circle
+    pol = [-60.0, 0.0, 1.0 / 60.0, 0.0, 0.0]
+    invpol = fit_inverse_poly(pol, rho_max=0.95 * (h / 2.0 + 22.0))
+    cams = OmniCamera.from_params(
+        [pol] * n_cams,
+        [list(invpol)] * n_cams,
+        [[1.0, 0.0, 0.0]] * n_cams,
+        [[w / 2.0, h / 2.0]] * n_cams,
+        [[w, h]] * n_cams,
+    )
+    mc = np.zeros((n_cams, 6), np.float32)
+    for c in range(n_cams):
+        ang = 2.0 * np.pi * c / max(n_cams, 1)
+        mc[c, :3] = [0.0, 0.15 * np.sin(ang), 0.1 * np.cos(ang)]  # mild rotations
+        mc[c, 3:] = [0.15 * np.cos(ang), 0.15 * np.sin(ang), 0.0]
+    return MultiCamRig.from_cayley(cams, mc)
+
+
+@dataclasses.dataclass
+class SyntheticWorld:
+    rig: MultiCamRig
+    points: np.ndarray          # [P, 3]
+    descs: np.ndarray           # [P, B]
+    poses: np.ndarray           # [T, 6] ground-truth body poses (M_t cayley)
+    timestamps: np.ndarray      # [T]
+    n_feats: int
+    noise_px: float
+    seed: int
+
+    def frame_features(self, t: int) -> FrameFeatures:
+        return synthesize_features(
+            self.rig, self.points, self.descs, self.poses[t], self.n_feats,
+            noise_px=self.noise_px, seed=self.seed * 100003 + t,
+        )
+
+
+def make_world(
+    n_points: int = 800,
+    n_frames: int = 60,
+    n_cams: int = 3,
+    n_feats: int = 200,
+    noise_px: float = 0.3,
+    trajectory: str = "circle",
+    radius: float = 4.0,
+    seed: int = 0,
+) -> SyntheticWorld:
+    rng = np.random.default_rng(seed)
+    rig = make_synthetic_rig(n_cams)
+    # landmarks in a ring around the trajectory (visible from everywhere)
+    ang = rng.uniform(0, 2 * np.pi, n_points)
+    rad = rng.uniform(radius + 2.0, radius + 8.0, n_points)
+    z = rng.uniform(-3.0, 3.0, n_points)
+    points = np.stack([rad * np.cos(ang), rad * np.sin(ang), z], -1).astype(np.float32)
+    descs = rng.integers(0, 256, size=(n_points, 32), dtype=np.uint8)
+    poses = np.zeros((n_frames, 6), np.float32)
+    for t in range(n_frames):
+        if trajectory == "circle":
+            th = 2.0 * np.pi * t / n_frames
+            poses[t, 3] = radius * np.cos(th) - radius
+            poses[t, 4] = radius * np.sin(th)
+            poses[t, 2] = np.tan(th / 2.0) if abs(th) < 3.0 else 0.0  # cayley yaw ~ tan(theta/2)
+        elif trajectory == "line":
+            poses[t, 3] = 0.05 * t
+            poses[t, 0] = 0.001 * t
+        else:
+            raise ValueError(trajectory)
+    timestamps = np.arange(n_frames) / 25.0
+    return SyntheticWorld(rig, points, descs, poses, timestamps, n_feats, noise_px, seed)
+
+
+def synthesize_features(
+    rig: MultiCamRig,
+    points: np.ndarray,
+    descs: np.ndarray,
+    pose6: np.ndarray,
+    n_feats: int,
+    noise_px: float = 0.3,
+    desc_flip_bits: int = 2,
+    seed: int = 0,
+) -> FrameFeatures:
+    """Project landmarks into all cameras at the given body pose and emit a
+    padded FrameFeatures with noisy pixels + lightly-corrupted descriptors."""
+    rng = np.random.default_rng(seed)
+    C = rig.n_cams
+    B = descs.shape[1]
+    Mt = np.asarray(cayley_to_hom(jnp.asarray(pose6, jnp.float32)))
+    uv_list, ray_list, desc_list, valid_list = [], [], [], []
+    from multicol_slam_tpu.models.camera import cam_img_to_world, cam_world_to_img
+
+    for c in range(C):
+        MtMc = Mt @ np.asarray(rig.Mc[c])
+        Tinv = np.linalg.inv(MtMc)
+        Xc = points @ Tinv[:3, :3].T + Tinv[:3, 3]
+        uv = np.asarray(cam_world_to_img(rig.cams, c, jnp.asarray(Xc, jnp.float32)))
+        ok = Xc[:, 2] > 0
+        ok &= np.asarray(in_mirror_mask(rig.cams, c, jnp.asarray(uv, jnp.float32), 0))
+        ok &= np.linalg.norm(Xc, axis=-1) < 25.0
+        idx = np.nonzero(ok)[0]
+        rng.shuffle(idx)
+        idx = idx[:n_feats]
+        n = len(idx)
+        uv_sel = uv[idx] + rng.normal(0, noise_px, (n, 2))
+        d_sel = descs[idx].copy()
+        # flip a couple of random bits per descriptor (matching noise)
+        for _ in range(desc_flip_bits):
+            byte = rng.integers(0, B, n)
+            bit = rng.integers(0, 8, n).astype(np.uint8)
+            d_sel[np.arange(n), byte] ^= (1 << bit).astype(np.uint8)
+        pad = n_feats - n
+        uv_p = np.pad(uv_sel, ((0, pad), (0, 0))).astype(np.float32)
+        rays = np.asarray(cam_img_to_world(rig.cams, c, jnp.asarray(uv_p, jnp.float32)))
+        uv_list.append(uv_p)
+        ray_list.append(rays)
+        desc_list.append(np.pad(d_sel, ((0, pad), (0, 0))))
+        valid_list.append(np.pad(np.ones(n, bool), (0, pad)))
+    K = n_feats
+    return FrameFeatures(
+        uv=jnp.asarray(np.stack(uv_list)),
+        response=jnp.ones((C, K), jnp.float32),
+        octave=jnp.zeros((C, K), jnp.int32),
+        angle=jnp.zeros((C, K), jnp.float32),
+        rays=jnp.asarray(np.stack(ray_list), jnp.float32),
+        desc=jnp.asarray(np.stack(desc_list), jnp.uint8),
+        dmask=jnp.full((C, K, descs.shape[1]), 255, jnp.uint8),
+        valid=jnp.asarray(np.stack(valid_list)),
+    )

@@ -216,3 +216,23 @@ def mirror_mask_raster(cam: OmniCamera, cam_idx: int, n_levels: int):
         mask = np.sqrt((ii - v0) ** 2 + (jj - u0) ** 2) < (v0 + off)
         masks.append(mask)
     return masks
+
+
+def fit_inverse_poly(pol, rho_max: float, deg: int = 12) -> np.ndarray:
+    """Fit the inverse polynomial rho(theta) from a forward polynomial z(rho)
+    so the pair is self-consistent (WorldToImg o ImgToWorld = id).
+
+    The Scaramuzza calibration toolbox ships both polynomials fitted from
+    data; synthetic rigs must derive invpol from pol or the round trip has
+    systematic error. theta = atan2(-z, rho) with z = -horner(pol, rho).
+    Returns MAX_INVPOL-padded coefficients (lowest order first).
+    """
+    pol = np.asarray(pol, np.float64)
+    rho = np.linspace(1e-6, rho_max, 512)
+    z = -np.polyval(pol[::-1], rho)
+    theta = np.arctan2(-z, rho)
+    order = np.argsort(theta)
+    coeffs = np.polyfit(theta[order], rho[order], deg)[::-1]
+    out = np.zeros(MAX_INVPOL, np.float64)
+    out[: deg + 1] = coeffs
+    return out

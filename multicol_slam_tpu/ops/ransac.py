@@ -53,11 +53,14 @@ def sample_indices(key, n_hyp: int, sample_size: int, n_data: int, weights=None)
 # Essential matrix (central relative pose) — init bootstrap
 # ---------------------------------------------------------------------------
 
-def _eight_point(r1: jnp.ndarray, r2: jnp.ndarray) -> jnp.ndarray:
+def _eight_point(r1: jnp.ndarray, r2: jnp.ndarray, w=None) -> jnp.ndarray:
     """Batched 8-pt algorithm on unit rays. r1, r2 [S, m>=8, 3] -> E [S, 3, 3]
-    with r2^T E r1 = 0, projected to the essential manifold."""
+    with r2^T E r1 = 0, projected to the essential manifold. Optional row
+    weights w [S, m] (inlier refit)."""
     # each correspondence: kron(r1, r2) . vec(E) = 0 (row-major E)
     A = jnp.einsum("smi,smj->smij", r1, r2).reshape(r1.shape[0], r1.shape[1], 9)
+    if w is not None:
+        A = A * w[..., None]
     # E = right-singular vector of A with smallest singular value
     _, _, Vh = jnp.linalg.svd(A, full_matrices=True)
     E = Vh[:, -1, :].reshape(-1, 3, 3).transpose(0, 2, 1)  # vec was (i=r1, j=r2): E[j,i]
@@ -94,45 +97,76 @@ class RelPoseResult(NamedTuple):
     score: jnp.ndarray
 
 
+def _triangulation_error(R, t, rays1, rays2):
+    """OpenGV-style model scoring: triangulate each correspondence under
+    (R, t) [X2 = R X1 + t, unit t], reproject, and return the angular errors
+    err = (1-cos) to both observed rays plus the ray depths. Batched over
+    model stacks: R [..., 3, 3], t [..., 3]; rays [N, 3].
+    Returns (err [..., N], lam1, lam2)."""
+    batch = R.shape[:-2]
+    o1 = jnp.zeros(batch + (1, 3))
+    d1 = jnp.broadcast_to(rays1, batch + rays1.shape)
+    o2 = jnp.broadcast_to(
+        (-jnp.einsum("...ji,...j->...i", R, t))[..., None, :], batch + (1, 3)
+    )
+    d2 = jnp.einsum("...ji,nj->...ni", R, rays2)  # rays2 rotated into frame1
+    X, lam1, lam2 = triangulate_midpoint(o1, d1, o2, d2)
+    # reprojection: direction from each camera center to X vs observed ray
+    p1 = X
+    p1n = p1 / (jnp.linalg.norm(p1, axis=-1, keepdims=True) + 1e-18)
+    p2 = X - o2
+    p2n = p2 / (jnp.linalg.norm(p2, axis=-1, keepdims=True) + 1e-18)
+    e1 = 1.0 - jnp.sum(p1n * d1, axis=-1)
+    e2 = 1.0 - jnp.sum(p2n * d2, axis=-1)
+    return e1 + e2, lam1, lam2
+
+
 def ransac_essential(
     key,
     rays1: jnp.ndarray,
     rays2: jnp.ndarray,
     valid: jnp.ndarray,
     n_hyp: int = 256,
-    epi_th: float = 1e-2,
+    err_th: float = 1e-4,
 ) -> RelPoseResult:
     """Two-view relative pose from ray correspondences (the init bootstrap,
-    replacing OpenGV CentralRelativePoseSacProblem; epipolar-ray threshold
-    1e-2 ~ cTracking.cpp:595). rays* [N, 3] unit; valid [N] bool.
+    replacing OpenGV CentralRelativePoseSacProblem/STEWENIUS; our 8-pt solves
+    feed the SAME scoring as OpenGV: triangulate + angular reprojection
+    error (1-cos), threshold 1e-4 (cMultiInitializer.cpp:143) — far more
+    discriminative than the algebraic epipolar residual at small baselines.
+    rays* [N, 3] unit; valid [N] bool.
 
-    All S hypotheses solved + scored densely; cheirality resolved by midpoint
-    triangulation depth voting over all correspondences.
+    All S hypotheses are solved as one batched SVD; all 4 (R, t) chirality
+    candidates of all hypotheses are scored densely against all N rows.
     """
     N = rays1.shape[0]
     idx = sample_indices(key, n_hyp, 8, N)
     E = _eight_point(rays1[idx], rays2[idx])              # [S, 3, 3]
-    # score: epipolar distance of every correspondence under every hypothesis
-    d = ray_epipolar_distance(
-        rays1[None, :, :], E[:, None, :, :], rays2[None, :, :]
-    )                                                      # [S, N]
-    inl = (d < epi_th) & valid[None, :]
+    R4, t4 = decompose_essential(E)                        # [S,4,3,3], [S,4,3]
+    Rf = R4.reshape(-1, 3, 3)
+    tf = t4.reshape(-1, 3)
+    err, lam1, lam2 = _triangulation_error(Rf, tf, rays1, rays2)  # [4S, N]
+    inl = (err < err_th) & (lam1 > 0) & (lam2 > 0) & valid[None, :]
     counts = jnp.sum(inl, axis=1)
     best = jnp.argmax(counts)
-    E_best = E[best]
-    # disambiguate the 4 (R, t) candidates by cheirality voting
-    R4, t4 = decompose_essential(E_best[None])
-    R4, t4 = R4[0], t4[0]                                  # [4,3,3], [4,3]
-    # rays in frame1; camera2 center in frame1 coords: c2 = -R^T t
-    o1 = jnp.zeros((4, N, 3))
-    d1 = jnp.broadcast_to(rays1[None], (4, N, 3))
-    o2 = jnp.broadcast_to((-jnp.einsum("kji,kj->ki", R4, t4))[:, None, :], (4, N, 3))
-    d2 = jnp.einsum("kji,nj->kni", R4, rays2)              # rays2 rotated into frame1
-    _, lam1, lam2 = triangulate_midpoint(o1, d1, o2, d2)
-    front = (lam1 > 0) & (lam2 > 0) & inl[best][None, :]
-    votes = jnp.sum(front, axis=1)
-    kbest = jnp.argmax(votes)
-    return RelPoseResult(R4[kbest], t4[kbest], inl[best], counts[best], counts[best].astype(jnp.float32))
+    # refit on ALL inliers of the winner (minimal 8-pt fits are noisy at
+    # small baseline; the consensus-set least squares is far tighter), then
+    # rescore the refit model's 4 chirality candidates.
+    w = inl[best].astype(rays1.dtype)
+    E_ref = _eight_point(rays1[None], rays2[None], w[None])
+    R4r, t4r = decompose_essential(E_ref)
+    Rr = R4r[0]
+    tr = t4r[0]
+    err_r, lam1_r, lam2_r = _triangulation_error(Rr, tr, rays1, rays2)  # [4, N]
+    inl_r = (err_r < err_th) & (lam1_r > 0) & (lam2_r > 0) & valid[None, :]
+    counts_r = jnp.sum(inl_r, axis=1)
+    kbest = jnp.argmax(counts_r)
+    use_refit = counts_r[kbest] >= counts[best]
+    R_out = jnp.where(use_refit, Rr[kbest], Rf[best])
+    t_out = jnp.where(use_refit, tr[kbest], tf[best])
+    inl_out = jnp.where(use_refit, inl_r[kbest], inl[best])
+    n_out = jnp.where(use_refit, counts_r[kbest], counts[best])
+    return RelPoseResult(R_out, t_out, inl_out, n_out, n_out.astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------

@@ -77,9 +77,18 @@ def _axpy(alpha, x: BAParams, y: BAParams) -> BAParams:
     return jax.tree.map(lambda a, b: alpha * a + b, x, y)
 
 
-def _build_grad_and_blocks(params, obs, Jp, Jx, Jm, Ji, w, r):
+def _psum_tree(tree, axis_name):
+    if axis_name is None:
+        return tree
+    return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), tree)
+
+
+def _build_grad_and_blocks(params, obs, Jp, Jx, Jm, Ji, w, r, axis_name=None):
     """RHS g = -J^T W r (the Gauss-Newton descent direction for residual
-    r = measured - predicted) and block-diagonal (preconditioner) terms."""
+    r = measured - predicted) and block-diagonal (preconditioner) terms.
+    With `axis_name` set, observation rows are sharded across a mesh axis and
+    every scatter-accumulation is psum-reduced — THE distributed-BA hook
+    (SURVEY.md §2.3: sharded Schur-block reduction over ICI)."""
     K = params.poses.shape[0]
     P = params.points.shape[0]
     C = params.mc.shape[0]
@@ -96,11 +105,16 @@ def _build_grad_and_blocks(params, obs, Jp, Jx, Jm, Ji, w, r):
         jnp.einsum("oia,o,oib->oab", Ji, w, Ji)
     )
     grad = BAParams(g_pose, g_pt, g_mc, g_intr)
-    return grad, (U, V, Um, Ui)
+    grad = _psum_tree(grad, axis_name)
+    blocks = _psum_tree((U, V, Um, Ui), axis_name)
+    return grad, blocks
 
 
-def _hvp(obs, Jp, Jx, Jm, Ji, w, lam, blocks, free: FreeMask, v: BAParams) -> BAParams:
-    """(J^T W J + lam * blockdiag) v via gather -> per-row matvec -> scatter."""
+def _hvp(obs, Jp, Jx, Jm, Ji, w, lam, blocks, free: FreeMask, v: BAParams,
+         axis_name=None) -> BAParams:
+    """(J^T W J + lam * blockdiag) v via gather -> per-row matvec -> scatter.
+    Sharded-observation partial sums are psum'd when axis_name is set; the
+    damping term uses already-reduced blocks so it is added post-psum."""
     v = _mask_params(v, free)
     jv = (
         jnp.einsum("oij,oj->oi", Jp, v.poses[obs.kf])
@@ -115,6 +129,7 @@ def _hvp(obs, Jp, Jx, Jm, Ji, w, lam, blocks, free: FreeMask, v: BAParams) -> BA
     h_pt = jnp.zeros((P, 3)).at[obs.pt].add(jnp.einsum("oij,oi->oj", Jx, wjv))
     h_mc = jnp.zeros((C, 6)).at[obs.cam].add(jnp.einsum("oij,oi->oj", Jm, wjv))
     h_intr = jnp.zeros((C, Ji.shape[-1])).at[obs.cam].add(jnp.einsum("oij,oi->oj", Ji, wjv))
+    h_pose, h_pt, h_mc, h_intr = _psum_tree((h_pose, h_pt, h_mc, h_intr), axis_name)
     U, V, Um, Ui = blocks
     # Levenberg damping on the block diagonal (adds lam * diag(U) * v)
     h_pose = h_pose + lam * jnp.einsum("kab,kb->ka", _diag_only(U), v.poses)
@@ -150,8 +165,10 @@ def _precond_apply(Minv, free: FreeMask, g: BAParams) -> BAParams:
     return _mask_params(out, free)
 
 
-def _pcg(obs, Jp, Jx, Jm, Ji, w, lam, blocks, Minv, free, g: BAParams, n_iters: int) -> BAParams:
-    """Preconditioned CG for (H + lam D) delta = g. Fixed iteration count."""
+def _pcg(obs, Jp, Jx, Jm, Ji, w, lam, blocks, Minv, free, g: BAParams, n_iters: int,
+         axis_name=None) -> BAParams:
+    """Preconditioned CG for (H + lam D) delta = g. Fixed iteration count.
+    Under shard_map, g/blocks/Minv are replicated, the Hvp shards rows."""
     x0 = jax.tree.map(jnp.zeros_like, g)
     r0 = g  # since x0 = 0
     z0 = _precond_apply(Minv, free, r0)
@@ -159,7 +176,7 @@ def _pcg(obs, Jp, Jx, Jm, Ji, w, lam, blocks, Minv, free, g: BAParams, n_iters: 
 
     def body(i, state):
         x, r, z, p, rz = state
-        Hp = _hvp(obs, Jp, Jx, Jm, Ji, w, lam, blocks, free, p)
+        Hp = _hvp(obs, Jp, Jx, Jm, Ji, w, lam, blocks, free, p, axis_name)
         pHp = _dot(p, Hp)
         alpha = rz / jnp.maximum(pHp, 1e-20)
         x = _axpy(alpha, p, x)
@@ -187,21 +204,26 @@ def lm_solve(
     obs: Observations,
     free: FreeMask,
     config: LMConfig = LMConfig(),
+    axis_name=None,
 ) -> Tuple[BAParams, jnp.ndarray]:
-    """Full LM loop (jit-compatible). Returns (params, final robust cost)."""
+    """Full LM loop (jit-compatible). Returns (params, final robust cost).
+    Pass axis_name inside shard_map for multi-device BA (parallel/ba.py)."""
 
     def cost_of(p):
         r, z = residuals_only(p, obs)
-        return robust_cost(r, z, obs, config.huber_delta)
+        c = robust_cost(r, z, obs, config.huber_delta)
+        return jax.lax.psum(c, axis_name) if axis_name is not None else c
 
     def step(state: LMState) -> LMState:
         p = state.params
         r, z, Jp, Jx, Jm, Ji = residuals_and_jacobians(p, obs)
         w, _ = huber_weights(r, z, obs, config.huber_delta)
-        grad, blocks = _build_grad_and_blocks(p, obs, Jp, Jx, Jm, Ji, w, r)
+        grad, blocks = _build_grad_and_blocks(p, obs, Jp, Jx, Jm, Ji, w, r, axis_name)
         grad = _mask_params(grad, free)
         Minv = tuple(_block_inv(B, state.lam) for B in blocks)
-        delta = _pcg(obs, Jp, Jx, Jm, Ji, w, state.lam, blocks, Minv, free, grad, config.cg_iters)
+        delta = _pcg(obs, Jp, Jx, Jm, Ji, w, state.lam, blocks, Minv, free, grad,
+                     config.cg_iters, axis_name)
+        delta = jax.tree.map(lambda x: jnp.where(jnp.isfinite(x), x, 0.0), delta)
         new_params = jax.tree.map(lambda a, b: a + b, p, _mask_params(delta, free))
         new_cost = cost_of(new_params)
         # predicted reduction ~ delta . (lam*D*delta + g)  (standard LM gain)
@@ -251,17 +273,32 @@ def pose_only_solve(
     """
     K = params.poses.shape[0]
 
+    def cost_of(p):
+        r, z = residuals_only(p, obs)
+        return robust_cost(r, z, obs, huber_delta)
+
     def gn_iter(i, carry):
-        p, lam_i = carry
+        p, lam_i, cost = carry
         r, z, Jp, _, _, _ = residuals_and_jacobians(p, obs)
         w, _ = huber_weights(r, z, obs, huber_delta)
         g = jnp.zeros((K, 6)).at[obs.kf].add(jnp.einsum("oij,oi->oj", Jp, -(w[:, None] * r)))
         H = jnp.zeros((K, 6, 6)).at[obs.kf].add(jnp.einsum("oia,o,oib->oab", Jp, w, Jp))
         Hd = H + (lam_i * jnp.maximum(jnp.diagonal(H, axis1=-2, axis2=-1), 1e-8))[..., None] * jnp.eye(6) + 1e-8 * jnp.eye(6)
         delta = jnp.linalg.solve(Hd, g[..., None])[..., 0]
-        return BAParams(p.poses + delta, p.points, p.mc, p.intr), lam_i
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        cand = BAParams(p.poses + delta, p.points, p.mc, p.intr)
+        new_cost = cost_of(cand)
+        # damped-GN step acceptance: reject uphill/non-finite steps and raise
+        # damping (keeps the fixed-iteration loop from diverging on
+        # ill-conditioned frames — the failure mode plain GN has here)
+        accept = jnp.isfinite(new_cost) & (new_cost <= cost)
+        p_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, p)
+        lam_next = jnp.clip(jnp.where(accept, lam_i * 0.5, lam_i * 10.0), 1e-6, 1e4)
+        return p_next, lam_next, jnp.where(accept, new_cost, cost)
 
-    p_out, _ = jax.lax.fori_loop(0, n_iters, gn_iter, (params, jnp.asarray(lam)))
+    p_out, _, _ = jax.lax.fori_loop(
+        0, n_iters, gn_iter, (params, jnp.asarray(lam), cost_of(params))
+    )
     r, z = residuals_only(p_out, obs)
     chi2 = jnp.where(obs.valid & (z > 0), jnp.sum(r * r, -1) * obs.inv_sigma2, jnp.inf)
     return p_out, chi2

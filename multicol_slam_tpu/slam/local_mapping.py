@@ -1,0 +1,398 @@
+"""Local mapping: new-point triangulation, culling, fusion, local BA.
+
+Capability map of the cLocalMapping thread loop (SURVEY.md §3.4,
+cLocalMapping.cpp:69-597): the same pipeline runs as a host-orchestrated
+sequence of jitted kernels after each keyframe insertion.
+
+  ProcessNewMultiKeyFrame -> MapStore bookkeeping (map_store.py)
+  MapPointCulling         -> cull_map_points (host, vectorized numpy)
+  CreateNewMapPoints      -> triangulate_pair kernel (device) per neighbor KF
+  SearchInNeighbors/Fuse  -> fuse_points (device match + host merge)
+  LocalBundleAdjustment   -> optim/ba.bundle_adjust on the padded local graph
+  KeyFrameCulling         -> cull_keyframes (host)
+
+Gate constants follow cLocalMapping.cpp:39-43, 224-387 (see docstrings).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multicol_slam_tpu.models.rig import MultiCamRig
+from multicol_slam_tpu.optim.ba import bundle_adjust_jit, prune_observations
+from multicol_slam_tpu.optim.problem import BAParams, FreeMask, Observations
+from multicol_slam_tpu.ops.matching import unpack_pm1
+from multicol_slam_tpu.slam.map_store import BAD_ID, MapStore
+from multicol_slam_tpu.utils.geometry import (
+    cayley_to_hom,
+    essential_from_relative,
+    hom_inverse,
+    ray_epipolar_distance,
+    triangulate_midpoint,
+)
+
+# Gates (cLocalMapping.cpp:39-43, 255, 305, 332, 363; SURVEY appendix)
+MIN_BASELINE_DEPTH_RATIO = 0.01
+MAX_PARALLAX_COS = 0.9998        # require a bit over 1 degree of parallax
+REPROJ_TH = 4.0
+MAX_DIST = 25.0
+FOUND_RATIO_MIN = 0.25
+KF_REDUNDANT_FRAC = 0.9
+KF_REDUNDANT_OBS = 5
+
+
+class TriangulationOut(NamedTuple):
+    X: jnp.ndarray        # [C*K, 3] new world points
+    feat1: jnp.ndarray    # [C*K] flat feature idx in KF1 (query)
+    feat2: jnp.ndarray    # [C*K] flat feature idx in KF2
+    ok: jnp.ndarray       # [C*K] bool
+
+
+@functools.partial(jax.jit, static_argnames=("epi_th", "th_desc", "ratio"))
+def triangulate_pair(
+    mc6: jnp.ndarray,
+    pose1: jnp.ndarray,
+    pose2: jnp.ndarray,
+    uv1, rays1, desc1, free1,      # KF1 features [C,K,...]; free = no map point yet
+    uv2, rays2, desc2, free2,
+    intr: jnp.ndarray,
+    epi_th: float = 1e-2,
+    th_desc: float = 64.0,
+    ratio: float = 0.8,
+) -> TriangulationOut:
+    """Match unassigned same-camera features between two keyframes under the
+    epipolar constraint and triangulate (SearchForTriangulationRaw,
+    cORBmatcher.cpp:988-1090 + CreateNewMapPoints gates,
+    cLocalMapping.cpp:224-387). All cameras in one fused program."""
+    C, K, B = desc1.shape
+    Mt1 = cayley_to_hom(pose1)
+    Mt2 = cayley_to_hom(pose2)
+    MtMc1 = jnp.einsum("ij,cjk->cik", Mt1, cayley_to_hom(mc6))   # [C,4,4]
+    MtMc2 = jnp.einsum("ij,cjk->cik", Mt2, cayley_to_hom(mc6))
+    # essential per camera: cam1@t1 <- cam1@t2 relative transform
+    rel = jnp.einsum("cij,cjk->cik", hom_inverse(MtMc1), MtMc2)  # maps cam2-frame -> cam1-frame
+    E = essential_from_relative(hom_inverse(rel))                # r1^T? convention check in test
+    # hamming [C, K1, K2]
+    a = unpack_pm1(desc1.reshape(C * K, B)).reshape(C, K, 8 * B)
+    b = unpack_pm1(desc2.reshape(C * K, B)).reshape(C, K, 8 * B)
+    ham = 0.5 * (8 * B - jnp.einsum("cqj,ckj->cqk", a, b, preferred_element_type=jnp.float32))
+    # epipolar distance between rays through E (misc.cpp:54-70 ray-space test)
+    epi = ray_epipolar_distance(
+        rays1[:, :, None, :], E[:, None, None, :, :], rays2[:, None, :, :]
+    )
+    mask = (epi < epi_th) & free1[:, :, None] & free2[:, None, :]
+    BIGD = jnp.float32(1e9)
+    d = jnp.where(mask, ham, BIGD)
+    idx2 = jnp.argmin(d, axis=2)                                  # [C, K]
+    best = jnp.min(d, axis=2)
+    d_no = jnp.where(jax.nn.one_hot(idx2, K, dtype=bool), BIGD, d)
+    second = jnp.min(d_no, axis=2)
+    ok = (best <= th_desc) & (best < ratio * second)
+    # mutual
+    idx1 = jnp.argmin(d, axis=1)
+    mutual = jnp.take_along_axis(idx1, idx2, axis=1) == jnp.arange(K)[None, :]
+    ok = ok & mutual
+    # triangulate in world frame
+    o1 = MtMc1[:, :3, 3][:, None, :]                              # [C,1,3]
+    o2 = MtMc2[:, :3, 3][:, None, :]
+    d1w = jnp.einsum("cij,ckj->cki", MtMc1[:, :3, :3], rays1)     # [C,K,3]
+    r2_sel = jnp.take_along_axis(rays2, idx2[..., None], axis=1)
+    d2w = jnp.einsum("cij,ckj->cki", MtMc2[:, :3, :3], r2_sel)
+    X, lam1, lam2 = triangulate_midpoint(o1, d1w, o2, d2w)
+    ok = ok & (lam1 > 0) & (lam2 > 0)
+    # parallax gate
+    cosp = jnp.sum(d1w * d2w, axis=-1)
+    ok = ok & (cosp < MAX_PARALLAX_COS)
+    # reprojection gates in both KFs through the observing cameras
+    from multicol_slam_tpu.optim.problem import intr_project
+    from multicol_slam_tpu.utils.geometry import transform_points
+
+    Xc1 = transform_points(hom_inverse(MtMc1)[:, None], X)
+    Xc2 = transform_points(hom_inverse(MtMc2)[:, None], X)
+    uv1p = intr_project(intr[:, None, :], Xc1)
+    uv2p = intr_project(intr[:, None, :], Xc2)
+    uv2_sel = jnp.take_along_axis(uv2, idx2[..., None], axis=1)
+    ok = ok & (jnp.linalg.norm(uv1p - uv1, axis=-1) < REPROJ_TH)
+    ok = ok & (jnp.linalg.norm(uv2p - uv2_sel, axis=-1) < REPROJ_TH)
+    ok = ok & (Xc1[..., 2] > 0) & (Xc2[..., 2] > 0)
+    # distance gate
+    dist1 = jnp.linalg.norm(X - o1, axis=-1)
+    dist2 = jnp.linalg.norm(X - o2, axis=-1)
+    ok = ok & (dist1 > 0) & (dist1 < MAX_DIST) & (dist2 > 0) & (dist2 < MAX_DIST)
+    fpc = K
+    feat1 = (jnp.arange(C)[:, None] * fpc + jnp.arange(K)[None, :]).reshape(-1)
+    feat2 = (jnp.arange(C)[:, None] * fpc + idx2).reshape(-1)
+    return TriangulationOut(X.reshape(-1, 3), feat1, feat2, ok.reshape(-1))
+
+
+class LocalMapper:
+    """Host orchestration of the local-mapping pipeline over a MapStore."""
+
+    def __init__(self, store: MapStore, rig: MultiCamRig):
+        self.store = store
+        self.rig = rig
+        self.mc6 = jnp.asarray(np.asarray(rig.Mc_cayley, np.float32))
+        self.intr = jnp.asarray(rig.cams.to_vector())
+        self.recent_points: List[Tuple[int, int]] = []  # (pt_id, created_kf)
+
+    # ------------------------------------------------------------------
+    def process_new_keyframe(self, k: int):
+        """ProcessNewMultiKeyFrame (cLocalMapping.cpp:145-186): refresh point
+        stats for points observed by the new KF."""
+        pts = self.store.kf_point[k]
+        for p in np.unique(pts[pts >= 0]):
+            self.store.update_point_stats(int(p))
+
+    # ------------------------------------------------------------------
+    def cull_map_points(self, current_kf: int):
+        """MapPointCulling (cLocalMapping.cpp:187-222)."""
+        s = self.store
+        keep = []
+        for p, created in self.recent_points:
+            if not s.pt_valid[p]:
+                continue
+            found_ratio = s.pt_found[p] / max(s.pt_visible[p], 1)
+            age = current_kf - created
+            nobs = s.point_n_obs(p)
+            if found_ratio < FOUND_RATIO_MIN:
+                s.erase_point(p)
+            elif age >= 2 and nobs <= 2:
+                s.erase_point(p)
+            elif age >= 3:
+                pass  # graduated: no longer monitored
+            else:
+                keep.append((p, created))
+        self.recent_points = keep
+
+    # ------------------------------------------------------------------
+    def create_new_points(self, k: int, n_neighbors: int = 5):
+        """CreateNewMapPoints (cLocalMapping.cpp:224-387)."""
+        s = self.store
+        neighbors = s.best_covisible(k, n_neighbors)
+        created = 0
+        pose1 = jnp.asarray(s.kf_pose[k])
+        F = s.cfg.feats_per_kf
+        C = s.cfg.n_cams
+        K = s.cfg.feats_per_cam
+        uv1 = jnp.asarray(s.kf_uv[k].reshape(C, K, 2))
+        rays1 = jnp.asarray(s.kf_rays[k].reshape(C, K, 3))
+        desc1 = jnp.asarray(s.kf_desc[k].reshape(C, K, -1))
+        for j in neighbors:
+            # baseline / median-depth gate (:255)
+            b = np.linalg.norm(s.kf_pose[k][3:] - s.kf_pose[j][3:])
+            med_depth = self._median_depth(j)
+            if med_depth <= 0 or b / med_depth < MIN_BASELINE_DEPTH_RATIO:
+                continue
+            free1 = jnp.asarray((s.kf_point[k] == BAD_ID).reshape(C, K) & s.kf_feat_valid[k].reshape(C, K))
+            free2 = jnp.asarray((s.kf_point[j] == BAD_ID).reshape(C, K) & s.kf_feat_valid[j].reshape(C, K))
+            out = triangulate_pair(
+                self.mc6,
+                pose1,
+                jnp.asarray(s.kf_pose[j]),
+                uv1, rays1, desc1, free1,
+                jnp.asarray(s.kf_uv[j].reshape(C, K, 2)),
+                jnp.asarray(s.kf_rays[j].reshape(C, K, 3)),
+                jnp.asarray(s.kf_desc[j].reshape(C, K, -1)),
+                free2,
+                self.intr,
+            )
+            ok = np.asarray(out.ok)
+            X = np.asarray(out.X)
+            f1 = np.asarray(out.feat1)
+            f2 = np.asarray(out.feat2)
+            for i in np.nonzero(ok)[0]:
+                if s.kf_point[k, f1[i]] != BAD_ID or s.kf_point[j, f2[i]] != BAD_ID:
+                    continue  # got claimed by an earlier neighbor pair
+                p = s.add_point(
+                    X[i],
+                    s.kf_desc[k, f1[i]],
+                    s.kf_dmask[k, f1[i]],
+                    first_kf=k,
+                    normal=np.zeros(3, np.float32),
+                    min_dist=0.1,
+                    max_dist=MAX_DIST,
+                )
+                s.add_observation(k, int(f1[i]), p)
+                s.add_observation(j, int(f2[i]), p)
+                s.update_point_stats(p)
+                self.recent_points.append((p, k))
+                created += 1
+        return created
+
+    def _median_depth(self, k: int) -> float:
+        """ComputeSceneMedianDepth (cMultiKeyFrame.cpp:756): median depth of
+        the KF's points in its body frame."""
+        s = self.store
+        pts = s.kf_point[k]
+        pts = np.unique(pts[pts >= 0])
+        if len(pts) == 0:
+            return -1.0
+        Mt = np.asarray(cayley_to_hom(jnp.asarray(s.kf_pose[k])))
+        Xb = (s.pt_X[pts] - Mt[:3, 3]) @ Mt[:3, :3]  # world->body rotation^T
+        return float(np.median(np.linalg.norm(Xb, axis=-1)))
+
+    # ------------------------------------------------------------------
+    def fuse_neighbors(self, k: int, radius: float = 3.0):
+        """SearchInNeighbors (cLocalMapping.cpp:388-458): project this KF's
+        points into 1st/2nd-ring neighbors and fuse duplicate observations."""
+        from multicol_slam_tpu.slam.tracking_kernels import LocalPoints, project_and_match
+        from multicol_slam_tpu.slam.features import FrameFeatures
+
+        s = self.store
+        ring1 = s.best_covisible(k, 10)
+        targets = set(ring1)
+        for j in ring1:
+            targets.update(s.best_covisible(j, 5))
+        targets.discard(k)
+        pts = s.kf_point[k]
+        pts = np.unique(pts[pts >= 0])
+        if len(pts) == 0:
+            return 0
+        L = int(2 ** int(np.ceil(np.log2(max(len(pts), 64)))))
+        pad = L - len(pts)
+        lp = LocalPoints(
+            X=jnp.asarray(np.pad(s.pt_X[pts], ((0, pad), (0, 0)))),
+            desc=jnp.asarray(np.pad(s.pt_desc[pts], ((0, pad), (0, 0)))),
+            min_dist=jnp.asarray(np.pad(s.pt_min_dist[pts], (0, pad))),
+            max_dist=jnp.asarray(np.pad(s.pt_max_dist[pts], (0, pad), constant_values=1.0)),
+            valid=jnp.asarray(np.pad(np.ones(len(pts), bool), (0, pad))),
+        )
+        C, K = s.cfg.n_cams, s.cfg.feats_per_cam
+        fused = 0
+        for j in sorted(targets):
+            if not s.kf_valid[j]:
+                continue
+            fj = FrameFeatures(
+                uv=jnp.asarray(s.kf_uv[j].reshape(C, K, 2)),
+                response=jnp.zeros((C, K)),
+                octave=jnp.asarray(s.kf_octave[j].reshape(C, K)),
+                angle=jnp.asarray(s.kf_angle[j].reshape(C, K)),
+                rays=jnp.asarray(s.kf_rays[j].reshape(C, K, 3)),
+                desc=jnp.asarray(s.kf_desc[j].reshape(C, K, -1)),
+                dmask=jnp.asarray(s.kf_dmask[j].reshape(C, K, -1)),
+                valid=jnp.asarray(s.kf_feat_valid[j].reshape(C, K)),
+            )
+            assign, dist, keep = fuse_match(
+                self.mc6, self.intr, self.rig.cams, fj, jnp.asarray(s.kf_pose[j]), lp, radius
+            )
+            assign = np.asarray(assign)
+            keep = np.asarray(keep)
+            for f in np.nonzero(keep)[0]:
+                p = int(pts[assign[f]])
+                existing = s.kf_point[j, f]
+                if existing == BAD_ID:
+                    s.add_observation(j, int(f), p)
+                    s.update_point_stats(p)
+                    fused += 1
+                elif existing != p and s.pt_valid[existing]:
+                    # keep the point with more observations (Fuse semantics)
+                    if s.point_n_obs(existing) >= s.point_n_obs(p):
+                        s.replace_point(p, int(existing))
+                    else:
+                        s.replace_point(int(existing), p)
+                    fused += 1
+        return fused
+
+    # ------------------------------------------------------------------
+    def local_ba(self, k: int, max_iters: int = 20):
+        """LocalBundleAdjustment (cOptimizer.cpp:489-909): free = covisible
+        neighborhood of k, anchors = other KFs observing the local points."""
+        s = self.store
+        local = [k] + s.best_covisible(k, 20)
+        local_set = set(local)
+        # anchors: observers of local points outside the local set
+        pts = s.kf_point[np.asarray(local)]
+        pts = np.unique(pts[pts >= 0])
+        obs_mask = np.isin(s.kf_point, pts) & (s.kf_point >= 0)
+        observers = np.nonzero(obs_mask.any(axis=1) & s.kf_valid)[0]
+        anchors = [int(j) for j in observers if int(j) not in local_set]
+        # always anchor kf 0 (gauge)
+        if 0 in local_set and len(local) > 1:
+            local.remove(0)
+            anchors.append(0)
+        # monocular scale gauge: ONE fixed pose leaves the 7th (scale) gauge
+        # free and local BA can slide the whole map's scale — anchor at least
+        # TWO keyframes (the oldest local ones, never the new KF k)
+        while len(anchors) < 2 and len(local) > 1:
+            oldest = min(j for j in local if j != k)
+            local.remove(oldest)
+            anchors.append(oldest)
+        prob = s.ba_problem(np.asarray(local), np.asarray(anchors, np.int64))
+        if prob is None:
+            return
+        nK = len(prob["kf_ids"])
+        nP = len(prob["pt_ids"])
+        params = BAParams(
+            jnp.asarray(prob["poses"]),
+            jnp.asarray(prob["points"]),
+            self.mc6,
+            self.intr,
+        )
+        obs = Observations(
+            jnp.asarray(prob["obs_kf"]),
+            jnp.asarray(prob["obs_pt"]),
+            jnp.asarray(prob["obs_cam"]),
+            jnp.asarray(prob["obs_uv"]),
+            jnp.asarray(prob["obs_inv_sigma2"]),
+            jnp.ones(len(prob["obs_kf"]), bool),
+        )
+        free = FreeMask(
+            poses=jnp.asarray([i < prob["n_free_kf"] for i in range(nK)]),
+            points=jnp.ones(nP, bool),
+        )
+        out, _ = bundle_adjust_jit(params, obs, free, max_iters=max_iters, cg_iters=40)
+        # prune outlier observations from the map (chi2 pass, :798-860)
+        valid = np.asarray(prune_observations(out, obs))
+        bad = np.nonzero(~valid)[0]
+        for i in bad:
+            kf_g = int(prob["obs_kf_global"][i])
+            s.erase_observation(kf_g, int(prob["obs_feat"][i]))
+        s.write_back(prob, poses=np.asarray(out.poses), points=np.asarray(out.points))
+
+    # ------------------------------------------------------------------
+    def cull_keyframes(self, k: int):
+        """KeyFrameCulling (cLocalMapping.cpp:520-597): a local KF is culled
+        when >=90% of its points are seen >=KF_REDUNDANT_OBS times elsewhere
+        at the same or finer scale."""
+        s = self.store
+        for j in s.best_covisible(k, 10):
+            if j == 0 or not s.kf_valid[j]:
+                continue  # never cull the origin anchor
+            feats = np.nonzero(s.kf_point[j] >= 0)[0]
+            if len(feats) < 20:
+                continue
+            redundant = 0
+            for f in feats:
+                p = s.kf_point[j, f]
+                if not s.pt_valid[p]:
+                    continue
+                level = s.kf_octave[j, f]
+                ks, fs = s.point_observers(int(p))
+                n_better = int(((ks != j) & (s.kf_octave[ks, fs] <= level + 1)).sum())
+                if n_better >= KF_REDUNDANT_OBS:
+                    redundant += 1
+            if redundant > KF_REDUNDANT_FRAC * len(feats):
+                s.erase_keyframe(j)
+
+    # ------------------------------------------------------------------
+    def run(self, k: int, do_ba: bool = True):
+        """One pass of the mapping pipeline for new keyframe k."""
+        self.process_new_keyframe(k)
+        self.cull_map_points(k)
+        n_new = self.create_new_points(k)
+        self.fuse_neighbors(k)
+        if do_ba and self.store.kf_valid.sum() >= 3:
+            self.local_ba(k)
+        self.cull_keyframes(k)
+        return n_new
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def fuse_match(mc6, intr, cams, feats, pose, pts, radius: float = 3.0):
+    from multicol_slam_tpu.slam.tracking_kernels import project_and_match
+
+    return project_and_match(mc6, intr, cams, feats, pose, pts, radius=radius, th_desc=64.0)

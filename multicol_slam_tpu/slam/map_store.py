@@ -194,17 +194,12 @@ class MapStore:
     def covisibility(self, k: int, min_weight: int = 1) -> Dict[int, int]:
         """KFs sharing map points with k and their shared-point counts
         (UpdateConnections, cMultiKeyFrame.cpp:412-500, threshold applied by
-        callers at >=30 / >=100)."""
-        pts = self.kf_point[k]
-        pts = np.unique(pts[pts >= 0])
-        if len(pts) == 0:
-            return {}
-        obs_mask = np.isin(self.kf_point, pts) & (self.kf_point >= 0)
-        counts = obs_mask.sum(axis=1)
-        counts[k] = 0
-        counts[~self.kf_valid] = 0
-        out = {int(j): int(c) for j, c in enumerate(counts) if c >= min_weight}
-        return out
+        callers at >=30 / >=100). Scans run in the native mapops library
+        when available (multicol_slam_tpu/native.py)."""
+        from multicol_slam_tpu import native
+
+        counts = native.covisibility_counts(self.kf_point, self.kf_valid, k)
+        return {int(j): int(c) for j, c in enumerate(counts) if c >= min_weight}
 
     def best_covisible(self, k: int, n: int) -> List[int]:
         cov = self.covisibility(k)

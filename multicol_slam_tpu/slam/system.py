@@ -1,0 +1,512 @@
+"""System facade: the tracking state machine + pipeline orchestration.
+
+Re-expresses cSystem + cTracking (SURVEY.md §2 rows 2-3, §3.2): per frame
+  extract -> (init | motion-model stage -> local-map stage) -> KF decision
+with the map maintained by slam/local_mapping.py after each keyframe and
+loops closed by slam/loop_closing.py. The reference's 4 threads + mutexes
+become a host-orchestrated sequence of jitted device programs (deliberate:
+the map is single-writer, tracking latency comes from device-level fusion,
+and stages can later be dispatched on separate device streams).
+
+States: NO_IMAGES_YET -> NOT_INITIALIZED -> INITIALIZING -> WORKING <-> LOST
+(cTracking.h:79-87).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multicol_slam_tpu.models.rig import MultiCamRig
+from multicol_slam_tpu.optim.ba import bundle_adjust_jit
+from multicol_slam_tpu.optim.problem import BAParams, FreeMask, Observations
+from multicol_slam_tpu.slam.features import FrameFeatures, extract_features_jit
+from multicol_slam_tpu.slam.initializer import bootstrap, points_to_world
+from multicol_slam_tpu.slam.local_mapping import LocalMapper
+from multicol_slam_tpu.slam.map_store import BAD_ID, MapConfig, MapStore
+from multicol_slam_tpu.slam.tracking_kernels import LocalPoints, track_stage
+from multicol_slam_tpu.utils.config import SlamSettings
+from multicol_slam_tpu.utils.geometry import cayley_to_hom, hom_inverse, hom_to_cayley
+
+# tracking states (cTracking.h:79-87)
+NO_IMAGES_YET = 0
+NOT_INITIALIZED = 1
+INITIALIZING = 2
+WORKING = 3
+LOST = 4
+
+MIN_INIT_KPS = 100        # cTracking.cpp:383
+MIN_TRACK_INLIERS = 15    # cTracking.cpp:881-886
+MIN_POSE_INLIERS = 6      # after pose-only stages (:794)
+KF_MIN_INLIERS = 25       # c2 gate (:914-928)
+KF_REF_RATIO = 0.9
+
+
+@dataclasses.dataclass
+class FrameMetrics:
+    frame_id: int
+    timestamp: float
+    state: int
+    pose: np.ndarray
+    n_matches: int = 0
+    n_inliers: int = 0
+    track_ms: float = 0.0
+    is_keyframe: bool = False
+
+
+class MultiColSLAM:
+    """The cSystem equivalent: construct once, call `track` per frame."""
+
+    def __init__(
+        self,
+        rig: MultiCamRig,
+        settings: SlamSettings,
+        map_cfg: Optional[MapConfig] = None,
+        use_loop_closing: bool = True,
+        seed: int = 0,
+    ):
+        self.rig = rig
+        self.settings = settings
+        n_cams = rig.n_cams
+        self.map_cfg = map_cfg or MapConfig(
+            n_cams=n_cams,
+            feats_per_cam=settings.extractor.n_features,
+            n_levels=settings.extractor.n_levels,
+            scale_factor=settings.extractor.scale_factor,
+            desc_bytes=settings.extractor.desc_size,
+        )
+        self.store = MapStore(self.map_cfg)
+        self.mapper = LocalMapper(self.store, rig)
+        self.loop_closer = None
+        if use_loop_closing:
+            from multicol_slam_tpu.slam.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(self.store, rig)
+        self.mc6 = jnp.asarray(np.asarray(rig.Mc_cayley, np.float32))
+        self.intr = jnp.asarray(rig.cams.to_vector())
+        self.key = jax.random.PRNGKey(seed)
+        self.state = NO_IMAGES_YET
+        self.frame_id = -1
+        self.last_pose = np.zeros(6, np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.ref_feats = None
+        self.last_feats = None
+        self.last_assign_global: Optional[np.ndarray] = None  # feat -> global pt id
+        self.last_kf_id = -1
+        self.frames_since_kf = 0
+        self.ref_kf_tracked = 0
+        self.trajectory: List[FrameMetrics] = []
+        # fixed capacities for the two tracking stages (static jit shapes)
+        self._stage1_cap = self.map_cfg.feats_per_kf
+        self._stage2_cap = 4096
+
+    # ------------------------------------------------------------------
+    def track(self, images=None, feats: Optional[FrameFeatures] = None, timestamp: float = 0.0) -> FrameMetrics:
+        """TrackMultiColSLAM (cSystem.cpp:182) + cTracking::Track (:237).
+        Accepts raw images [C, H, W] or precomputed FrameFeatures (the test
+        oracle path)."""
+        t0 = time.perf_counter()
+        self.frame_id += 1
+        if feats is None:
+            feats = extract_features_jit(
+                jnp.asarray(images, jnp.float32), self.rig.cams, self.settings.extractor
+            )
+        m = FrameMetrics(self.frame_id, timestamp, self.state, self.last_pose.copy())
+        if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+            if int(np.asarray(feats.valid).sum()) > MIN_INIT_KPS:
+                self.ref_feats = feats
+                self.state = INITIALIZING
+            else:
+                self.state = NOT_INITIALIZED
+        elif self.state == INITIALIZING:
+            self._try_initialize(feats, timestamp)
+        elif self.state in (WORKING, LOST):
+            self._track_frame(feats, timestamp, m)
+        self.last_feats = feats
+        m.state = self.state
+        m.pose = self.last_pose.copy()
+        m.track_ms = (time.perf_counter() - t0) * 1e3
+        self.trajectory.append(m)
+        return m
+
+    # ------------------------------------------------------------------
+    def _try_initialize(self, feats, timestamp):
+        self.key, sub = jax.random.split(self.key)
+        res, n_matches = bootstrap(self.rig, self.ref_feats, feats, key=sub)
+        if res is None:
+            # geometry not ready (baseline too small): KEEP the reference so
+            # parallax accumulates; only re-snapshot when overlap collapses
+            if n_matches < 100 and int(np.asarray(feats.valid).sum()) > MIN_INIT_KPS:
+                self.ref_feats = feats
+            return
+        # recover METRIC scale from the rig baseline before committing the
+        # map (dense cross-camera scale consensus — see calibrate_metric_scale;
+        # the reference's equivalent is cross-cam re-observation + GBA,
+        # cTracking.cpp:520-701). Without this the arbitrary essential-matrix
+        # scale collides with metric cross-cam observations in later BA.
+        from multicol_slam_tpu.slam.initializer import calibrate_metric_scale
+
+        scale, n_cross = calibrate_metric_scale(self.rig, self.ref_feats, feats, res)
+        if scale != 1.0:
+            from multicol_slam_tpu.slam.initializer import _mt2_of_scale
+
+            Mc = np.asarray(self.rig.Mc[res.leading_cam], np.float64)
+            T21 = np.linalg.inv(np.linalg.inv(Mc) @ np.asarray(res.Mt2) @ Mc)
+            res = res._replace(
+                points_cam=res.points_cam * scale,
+                Mt2=_mt2_of_scale(self.rig, res.leading_cam, T21[:3, :3], T21[:3, 3], scale),
+            )
+        s = self.store
+        k1 = s.add_keyframe(np.zeros(6, np.float32), self.ref_feats, timestamp, self.frame_id - 1)
+        pose2 = np.asarray(hom_to_cayley(jnp.asarray(res.Mt2, jnp.float32)))
+        k2 = s.add_keyframe(pose2, feats, timestamp, self.frame_id)
+        Xw = points_to_world(self.rig, res.leading_cam, res.points_cam)
+        for i in range(len(Xw)):
+            f1, f2 = int(res.feat1[i]), int(res.feat2[i])
+            p = s.add_point(
+                Xw[i].astype(np.float32),
+                s.kf_desc[k1, f1],
+                s.kf_dmask[k1, f1],
+                first_kf=k1,
+                normal=np.zeros(3, np.float32),
+                min_dist=0.1,
+                max_dist=25.0,
+            )
+            s.add_observation(k1, f1, p)
+            s.add_observation(k2, f2, p)
+            s.update_point_stats(p)
+        # initial refinement, reference order (cTracking.cpp:513-701):
+        # cross-camera re-observation FIRST (metric-scale-pinning
+        # observations), then GBA with only the first pose anchored so the
+        # whole map can settle onto the rig-metric gauge.
+        self.mapper.fuse_neighbors(k2)
+        self._global_ba(anchor_first=True, max_iters=10)
+        self.mapper.run(k2, do_ba=False)
+        self.last_pose = np.asarray(s.kf_pose[k2])
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.last_kf_id = k2
+        self.frames_since_kf = 0
+        self.last_assign_global = self._kf_assign(k2)
+        self.ref_kf_tracked = int((s.kf_point[k2] >= 0).sum())
+        self.state = WORKING
+
+    def _kf_assign(self, k):
+        return self.store.kf_point[k].copy()
+
+    # ------------------------------------------------------------------
+    def _gather_points(self, pt_ids: np.ndarray, cap: int) -> LocalPoints:
+        s = self.store
+        n = min(len(pt_ids), cap)
+        pt_ids = pt_ids[:n]
+        pad = cap - n
+        return LocalPoints(
+            X=jnp.asarray(np.pad(s.pt_X[pt_ids], ((0, pad), (0, 0)))),
+            desc=jnp.asarray(np.pad(s.pt_desc[pt_ids], ((0, pad), (0, 0)))),
+            min_dist=jnp.asarray(np.pad(s.pt_min_dist[pt_ids], (0, pad))),
+            max_dist=jnp.asarray(np.pad(s.pt_max_dist[pt_ids], (0, pad), constant_values=1.0)),
+            valid=jnp.asarray(np.pad(np.ones(n, bool), (0, pad))),
+        ), pt_ids
+
+    def _track_frame(self, feats, timestamp, m: FrameMetrics):
+        s = self.store
+        sf = self.settings.extractor.scale_factor
+        nl = self.settings.extractor.n_levels
+        # ---- stage 1: motion-model matching against last frame's points ---
+        pose_pred = self.last_pose
+        if self.settings.use_motion_model:
+            Mt = np.asarray(cayley_to_hom(jnp.asarray(self.last_pose)))
+            pose_pred = np.asarray(hom_to_cayley(jnp.asarray(Mt @ self.velocity)))
+        prev_pts = self.last_assign_global
+        pt_ids = np.unique(prev_pts[prev_pts >= 0]) if prev_pts is not None else np.empty(0, np.int64)
+        pt_ids = pt_ids[s.pt_valid[pt_ids]] if len(pt_ids) else pt_ids
+        ok_stage1 = False
+        pose1 = pose_pred
+        if len(pt_ids) >= 10:
+            lp, pt_ids1 = self._gather_points(pt_ids, self._stage1_cap)
+            out = track_stage(
+                self.mc6, self.intr, self.rig.cams, feats,
+                jnp.asarray(pose_pred, jnp.float32), lp,
+                scale_factor=sf, n_levels=nl, radius=15.0, th_desc=96.0,
+            )
+            if int(out.n_inliers) >= MIN_POSE_INLIERS:
+                pose1 = np.asarray(out.pose)
+                ok_stage1 = True
+            else:
+                # fallback: wider window from the unadvanced pose
+                # (TrackPreviousFrame semantics, cTracking.cpp:731)
+                out = track_stage(
+                    self.mc6, self.intr, self.rig.cams, feats,
+                    jnp.asarray(self.last_pose, jnp.float32), lp,
+                    scale_factor=sf, n_levels=nl, radius=50.0, th_desc=96.0,
+                )
+                if int(out.n_inliers) >= MIN_POSE_INLIERS:
+                    pose1 = np.asarray(out.pose)
+                    ok_stage1 = True
+        # ---- stage 2: track the local map ---------------------------------
+        local_pts = self._local_map_points(pt_ids)
+        n_inl = 0
+        assign_global = np.full(s.cfg.feats_per_kf, BAD_ID, np.int32)
+        if len(local_pts) >= 10:
+            lp2, pt_ids2 = self._gather_points(local_pts, self._stage2_cap)
+            out2 = track_stage(
+                self.mc6, self.intr, self.rig.cams, feats,
+                jnp.asarray(pose1, jnp.float32), lp2,
+                scale_factor=sf, n_levels=nl, radius=4.0, th_desc=96.0,
+            )
+            n_inl = int(out2.n_inliers)
+            if n_inl >= MIN_TRACK_INLIERS:
+                self._finish_frame(np.asarray(out2.pose))
+                assign = np.asarray(out2.assign)
+                inl = np.asarray(out2.inlier)
+                matched = (assign >= 0) & inl
+                assign_global[matched] = pt_ids2[assign[matched]]
+                # visibility bookkeeping (mnVisible/mnFound)
+                s.pt_visible[pt_ids2] += 1
+                s.pt_found[np.unique(assign_global[assign_global >= 0])] += 1
+                m.n_matches = int(out2.n_matches)
+                m.n_inliers = n_inl
+                self.state = WORKING
+            else:
+                self.state = LOST
+        elif ok_stage1:
+            self._finish_frame(pose1)
+            self.state = WORKING
+        else:
+            self.state = LOST
+        self.last_assign_global = assign_global
+        # ---- lost handling (auto-reset early, cTracking.cpp:322-329) ------
+        if self.state == LOST:
+            if s.kf_valid.sum() <= 3:
+                self.reset()
+            elif self._relocalize(feats, m):
+                self.state = WORKING
+            return
+        # ---- keyframe decision (NeedNewKeyFrame, cTracking.cpp:897-946):
+        # c1a: too long since last KF; c1b+c2: tracking weakening vs the
+        # reference KF while still healthy (>KF_MIN_INLIERS) ----------------
+        self.frames_since_kf += 1
+        c1a = self.frames_since_kf >= self.settings.max_frames
+        c1b = self.frames_since_kf >= self.settings.min_frames
+        c2 = (n_inl < KF_REF_RATIO * max(self.ref_kf_tracked, 1)) and n_inl > KF_MIN_INLIERS
+        if (c1a and n_inl >= MIN_TRACK_INLIERS) or (c1b and c2):
+            self._create_keyframe(feats, timestamp, assign_global)
+            m.is_keyframe = True
+
+    def _finish_frame(self, new_pose: np.ndarray):
+        Mt_last = np.asarray(cayley_to_hom(jnp.asarray(self.last_pose)))
+        Mt_new = np.asarray(cayley_to_hom(jnp.asarray(new_pose)))
+        self.velocity = (np.linalg.inv(Mt_last) @ Mt_new).astype(np.float32)
+        self.last_pose = new_pose.astype(np.float32)
+
+    def _local_map_points(self, seed_pts: np.ndarray) -> np.ndarray:
+        """UpdateReferenceKeyFrames + local points (cTracking.cpp:961-1130):
+        KFs observing the currently tracked points (vote), plus their best
+        covisible neighbors; local map = all their points."""
+        s = self.store
+        if len(seed_pts) == 0:
+            ks = s.active_kfs()[-5:]
+        else:
+            obs_mask = np.isin(s.kf_point, seed_pts) & (s.kf_point >= 0)
+            votes = obs_mask.sum(axis=1)
+            ks = np.nonzero(votes > 4)[0]
+            if len(ks) == 0:
+                ks = np.argsort(-votes)[:3]
+            ref = int(ks[np.argmax(votes[ks])])
+            self.ref_kf_tracked = int((s.kf_point[ref] >= 0).sum())
+            neighbors = set()
+            for k in ks[:10]:
+                neighbors.update(s.best_covisible(int(k), 5))
+            ks = np.unique(np.concatenate([ks, np.asarray(sorted(neighbors), np.int64)])) if neighbors else ks
+        pts = s.kf_point[ks[s.kf_valid[ks]]] if len(ks) else np.empty((0,), np.int64)
+        pts = np.unique(pts[pts >= 0]) if len(pts) else np.empty(0, np.int64)
+        return pts[s.pt_valid[pts]] if len(pts) else pts
+
+    def _create_keyframe(self, feats, timestamp, assign_global):
+        s = self.store
+        k = s.add_keyframe(self.last_pose, feats, timestamp, self.frame_id)
+        for f in np.nonzero(assign_global >= 0)[0]:
+            s.add_observation(k, int(f), int(assign_global[f]))
+        self.mapper.run(k)
+        # pose may have been adjusted by local BA
+        self.last_pose = s.kf_pose[k].copy()
+        self.last_assign_global = s.kf_point[k].copy()
+        self.last_kf_id = k
+        self.frames_since_kf = 0
+        self.ref_kf_tracked = int((s.kf_point[k] >= 0).sum())
+        if self.loop_closer is not None:
+            closed = self.loop_closer.process(k)
+            if closed:
+                self.last_pose = s.kf_pose[k].copy()
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, feats, m: FrameMetrics) -> bool:
+        """Relocalisation (cTracking.cpp:1138-1338): BoW candidate retrieval
+        (DetectRelocalisationCandidates) -> descriptor matches to each
+        candidate's map points (>=15) -> non-central absolute-pose RANSAC
+        (our DLT+Procrustes replacing OpenGV GP3P, thr/iters per :1274-1275)
+        -> refinement + local-map pose optimization; accept >=10 inliers."""
+        from multicol_slam_tpu.ops.matching import hamming_matrix
+        from multicol_slam_tpu.ops.ransac import ransac_noncentral_pose
+        from multicol_slam_tpu.utils.geometry import cayley_to_rot
+
+        s = self.store
+        # candidate keyframes: BoW query when a vocabulary exists, else the
+        # most recent keyframes (the reference also force-feeds the last KF's
+        # covisible set after loop corrections, cTracking.cpp:1152-1160)
+        cands = []
+        lc = self.loop_closer
+        if lc is not None and lc.voc is not None and lc.db is not None:
+            descs = np.asarray(feats.desc).reshape(-1, feats.desc.shape[-1])
+            valid = np.asarray(feats.valid).reshape(-1)
+            from multicol_slam_tpu.models.vocab import bow_vector, transform_words
+
+            bow = bow_vector(lc.voc, transform_words(lc.voc, descs[valid]))
+            cands = [k for k, _ in lc.db.query(bow, set(), 0.0)[:5]]
+        if not cands:
+            cands = [int(k) for k in s.active_kfs()[-5:]][::-1]
+        C, K, B = feats.desc.shape
+        cur_desc = np.asarray(feats.desc).reshape(C * K, B)
+        cur_rays = np.asarray(feats.rays).reshape(C * K, 3)
+        cur_valid = np.asarray(feats.valid).reshape(C * K)
+        Rc_all = np.asarray(self.rig.Mc)[:, :3, :3]
+        tc_all = np.asarray(self.rig.Mc)[:, :3, 3]
+        for cand in cands:
+            fk = np.nonzero((s.kf_point[cand] >= 0))[0]
+            if len(fk) < 15:
+                continue
+            d = np.array(
+                hamming_matrix(jnp.asarray(cur_desc), jnp.asarray(s.kf_desc[cand][fk]))
+            )
+            d[~cur_valid] = 1e9
+            best = d.argmin(1)
+            bestd = d.min(1)
+            ok = bestd <= 64
+            if ok.sum() < 15:
+                continue
+            sel = np.nonzero(ok)[0]
+            pts = s.kf_point[cand][fk[best[sel]]]
+            Xw = s.pt_X[pts]
+            cam_idx = sel // K
+            res = ransac_noncentral_pose(
+                jax.random.fold_in(self.key, self.frame_id),
+                jnp.asarray(Xw, jnp.float32),
+                jnp.asarray(cur_rays[sel], jnp.float32),
+                jnp.asarray(Rc_all[cam_idx], jnp.float32),
+                jnp.asarray(tc_all[cam_idx], jnp.float32),
+                jnp.ones(len(sel), bool),
+                n_hyp=160,
+            )
+            if int(res.n_inliers) < 10:
+                continue
+            pose = np.asarray(hom_to_cayley(jnp.asarray(res.Mt)))
+            # confirm by tracking the local map from the recovered pose
+            local_pts = self._local_map_points(np.unique(pts))
+            if len(local_pts) < 10:
+                continue
+            lp2, pt_ids2 = self._gather_points(local_pts, self._stage2_cap)
+            from multicol_slam_tpu.slam.tracking_kernels import track_stage
+
+            out = track_stage(
+                self.mc6, self.intr, self.rig.cams, feats,
+                jnp.asarray(pose, jnp.float32), lp2,
+                scale_factor=self.settings.extractor.scale_factor,
+                n_levels=self.settings.extractor.n_levels,
+                radius=8.0, th_desc=96.0,
+            )
+            if int(out.n_inliers) >= 10:
+                self.last_pose = np.asarray(out.pose)
+                self.velocity = np.eye(4, dtype=np.float32)
+                assign = np.asarray(out.assign)
+                inl = np.asarray(out.inlier)
+                ag = np.full(s.cfg.feats_per_kf, BAD_ID, np.int32)
+                matched = (assign >= 0) & inl
+                ag[matched] = pt_ids2[assign[matched]]
+                self.last_assign_global = ag
+                m.n_inliers = int(out.n_inliers)
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    def _global_ba(self, anchor_first: bool = True, max_iters: int = 15):
+        s = self.store
+        kfs = s.active_kfs()
+        if len(kfs) < 2:
+            return
+        free_kfs = kfs[1:] if anchor_first else kfs
+        anchors = kfs[:1] if anchor_first else np.empty(0, np.int64)
+        prob = s.ba_problem(free_kfs, anchors)
+        if prob is None:
+            return
+        params = BAParams(
+            jnp.asarray(prob["poses"]), jnp.asarray(prob["points"]), self.mc6, self.intr
+        )
+        obs = Observations(
+            jnp.asarray(prob["obs_kf"]),
+            jnp.asarray(prob["obs_pt"]),
+            jnp.asarray(prob["obs_cam"]),
+            jnp.asarray(prob["obs_uv"]),
+            jnp.asarray(prob["obs_inv_sigma2"]),
+            jnp.ones(len(prob["obs_kf"]), bool),
+        )
+        free = FreeMask(
+            poses=jnp.asarray([i < prob["n_free_kf"] for i in range(len(prob["kf_ids"]))]),
+            points=jnp.ones(len(prob["pt_ids"]), bool),
+        )
+        out, _ = bundle_adjust_jit(params, obs, free, max_iters=max_iters, cg_iters=20)
+        s.write_back(prob, poses=np.asarray(out.poses), points=np.asarray(out.points))
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        """cTracking::Reset (cTracking.cpp:1353-1401)."""
+        self.store = MapStore(self.map_cfg)
+        self.mapper = LocalMapper(self.store, self.rig)
+        if self.loop_closer is not None:
+            from multicol_slam_tpu.slam.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(self.store, self.rig)
+        self.state = NOT_INITIALIZED
+        self.ref_feats = None
+        self.last_assign_global = None
+        self.velocity = np.eye(4, dtype=np.float32)
+
+    def shutdown(self):
+        pass  # no threads to join: the pipeline is host-sequential
+
+    # ------------------------------------------------------------------
+    def save_trajectory(self, path: str):
+        from multicol_slam_tpu.io.trajectory import save_lafida_trajectory
+
+        save_lafida_trajectory(path, self.trajectory)
+
+    def save_metrics(self, path: str):
+        """Structured per-frame metrics JSONL (SURVEY.md §5 observability:
+        replaces the reference's cout prose + eval vectors cTracking.h:114-121
+        with machine-readable records)."""
+        import json
+
+        with open(path, "w") as f:
+            for m in self.trajectory:
+                f.write(
+                    json.dumps(
+                        dict(
+                            frame=m.frame_id,
+                            t=m.timestamp,
+                            state=m.state,
+                            pose=[float(x) for x in m.pose],
+                            n_matches=m.n_matches,
+                            n_inliers=m.n_inliers,
+                            track_ms=round(m.track_ms, 3),
+                            keyframe=m.is_keyframe,
+                        )
+                    )
+                    + "\n"
+                )
+
+    def save_checkpoint(self, path: str):
+        from multicol_slam_tpu.io.checkpoint import save_map
+
+        save_map(path, self.store)
