@@ -55,10 +55,31 @@ def load_gray(path: str) -> np.ndarray:
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) != 4:
+    # optional extras beyond the reference's 4 positional args:
+    #   --viz DIR [--viz-every N]   artifact-based viewer (io/viz.py)
+    #   --save-map PATH             map checkpoint at exit (io/checkpoint.py)
+    #   --metrics PATH              per-frame metrics JSONL
+    viz_dir = None
+    viz_every = 25
+    save_map_path = None
+    metrics_path = None
+    pos = []
+    it = iter(argv)
+    for a in it:
+        if a == "--viz":
+            viz_dir = next(it)
+        elif a == "--viz-every":
+            viz_every = int(next(it))
+        elif a == "--save-map":
+            save_map_path = next(it)
+        elif a == "--metrics":
+            metrics_path = next(it)
+        else:
+            pos.append(a)
+    if len(pos) != 4:
         print(__doc__)
         return 1
-    voc_path, settings_path, calib_dir, seq_dir = argv
+    voc_path, settings_path, calib_dir, seq_dir = pos
 
     from multicol_slam_tpu.slam.system import MultiColSLAM, WORKING
     from multicol_slam_tpu.utils.config import load_rig, load_slam_settings
@@ -81,6 +102,12 @@ def main(argv=None):
         slam.loop_closer.voc = voc
         slam.loop_closer.db = KeyFrameDatabase(voc)
 
+    viz = None
+    if viz_dir is not None:
+        from multicol_slam_tpu.io.viz import Visualizer
+
+        viz = Visualizer(viz_dir, every=viz_every)
+
     stamps, files = load_image_list(seq_dir, settings.traj_start_frame, settings.traj_end_frame)
     print(f"tracking {len(stamps)} frames ...")
     times = []
@@ -89,11 +116,17 @@ def main(argv=None):
         t0 = time.perf_counter()
         m = slam.track(images=images, timestamp=t)
         times.append(time.perf_counter() - t0)
+        if viz is not None:
+            viz.update(slam, images, m)
         if i % 50 == 0:
             print(f"frame {i}: state={m.state} inliers={m.n_inliers} {times[-1]*1e3:.1f} ms")
     slam.shutdown()
     out = "MKFTrajectoryLAFIDA.txt"
     slam.save_trajectory(out)
+    if metrics_path is not None:
+        slam.save_metrics(metrics_path)
+    if save_map_path is not None:
+        slam.save_checkpoint(save_map_path)
     times = np.asarray(times)
     print(f"median tracking time: {np.median(times)*1e3:.2f} ms")
     print(f"mean tracking time:   {np.mean(times)*1e3:.2f} ms")

@@ -1,0 +1,229 @@
+"""Pallas TPU kernel: fused masked-Hamming best-match.
+
+The matching hot path (SearchByProjection / WindowSearch families,
+/root/reference/src/cORBmatcher.cpp:67-166, :326, :579, :1991) is, in dense
+TPU form, a [Q, T] Hamming tile + predicate mask + row-wise (best, second,
+argmin). The jnp path (ops/matching.py) materializes the [Q, T] distance
+matrix in HBM (e.g. 3x4096x400 f32 ~ 20 MB per tensor, several tensors per
+stage). This kernel streams T in VMEM-resident tiles and keeps ONLY the
+[Q]-sized running (best, second, argmin) state, so HBM traffic drops to the
+descriptor/coordinate inputs + [Q] outputs:
+
+  for each T-tile:                                (grid, sequential on TPU)
+      dot   = a_pm1 @ b_tile^T                    (MXU, bf16 -> f32)
+      ham   = (nbits - dot) / 2
+      mask  = |uv_q - uv_t| <= rad_t  &  |oct_q - lvl_t| <= tol  (VPU)
+      merge row-min/second/argmin into running state (VMEM scratch)
+
+Mask semantics cover all callers:
+  - per-target radius rad_t (<0 disables the target entirely -> the
+    candidate/validity masks are folded into rad_t by the wrapper),
+  - optional pyramid-level band between per-query octave oct_q and
+    per-target predicted level lvl_t (tol >= n_levels disables it).
+
+Wrappers fall back to the jnp path off-TPU (tests exercise the kernel via
+interpret mode; CPU/GPU production path stays jnp).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multicol_slam_tpu.ops.matching import unpack_pm1
+
+BIG = 1e9  # plain float: jnp scalars would be captured as consts inside the kernel
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _match_kernel(
+    a_ref,        # [Q, D]  bf16 (+-1 unpacked query descriptors)
+    uvq_ref,      # [Q, 2]  f32
+    octq_ref,     # [Q, 1]  f32
+    radq_ref,     # [Q, 1]  f32  (<0 -> query disabled)
+    b_ref,        # [TT, D] bf16 (one target tile)
+    uvt_ref,      # [TT, 2] f32
+    radt_ref,     # [TT, 1] f32  (<0 -> target disabled)
+    lvlt_ref,     # [TT, 1] f32
+    tol_ref,      # [1, 1]  f32  (SMEM) level tolerance
+    best_ref,     # [Q, 1] out
+    second_ref,   # [Q, 1] out
+    idx_ref,      # [Q, 1] out  (i32)
+):
+    t = pl.program_id(0)
+    TT = b_ref.shape[0]
+    nbits = jnp.float32(a_ref.shape[1])
+
+    @pl.when(t == 0)
+    def _():
+        best_ref[:] = jnp.full(best_ref.shape, BIG, jnp.float32)
+        second_ref[:] = jnp.full(second_ref.shape, BIG, jnp.float32)
+        idx_ref[:] = jnp.full(idx_ref.shape, -1, jnp.int32)
+
+    dot = jax.lax.dot_general(
+        a_ref[:], b_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                # [Q, TT]
+    ham = 0.5 * (nbits - dot)
+    du = jnp.abs(uvq_ref[:, 0:1] - uvt_ref[:, 0][None, :])
+    dv = jnp.abs(uvq_ref[:, 1:2] - uvt_ref[:, 1][None, :])
+    # effective radius = min(per-query, per-target); either <0 disables
+    rad = jnp.minimum(radq_ref[:, 0:1], radt_ref[:, 0][None, :])
+    dl = jnp.abs(octq_ref[:, 0:1] - lvlt_ref[:, 0][None, :])
+    mask = (du <= rad) & (dv <= rad) & (dl <= tol_ref[0, 0])
+    d = jnp.where(mask, ham, BIG)
+
+    # tile row-min / second / argmin over the TT axis
+    t1 = jnp.min(d, axis=1, keepdims=True)                       # [Q, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    is_min = d <= t1
+    # first column achieving the min
+    a1 = jnp.min(jnp.where(is_min, cols, TT), axis=1, keepdims=True)
+    d_wo = jnp.where(cols == a1, BIG, d)
+    t2 = jnp.min(d_wo, axis=1, keepdims=True)
+
+    r1, r2, ri = best_ref[:], second_ref[:], idx_ref[:]
+    new_r1 = jnp.minimum(r1, t1)
+    new_r2 = jnp.minimum(jnp.maximum(r1, t1), jnp.minimum(r2, t2))
+    new_ri = jnp.where(t1 < r1, a1 + t * TT, ri)
+    best_ref[:] = new_r1
+    second_ref[:] = new_r2
+    idx_ref[:] = new_ri
+
+
+try:  # pallas import kept optional: CPU-only deployments use the jnp path
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+
+@functools.partial(
+    jax.jit, static_argnames=("level_tol", "tile_t", "interpret")
+)
+def masked_best_match_pallas(
+    desc_q: jnp.ndarray,   # [Q, B] uint8
+    uv_q: jnp.ndarray,     # [Q, 2] f32
+    oct_q: jnp.ndarray,    # [Q]    f32/i32
+    desc_t: jnp.ndarray,   # [T, B] uint8
+    uv_t: jnp.ndarray,     # [T, 2] f32
+    rad_t: jnp.ndarray,    # [T]    f32 (per-target window radius; <0 disables)
+    lvl_t: jnp.ndarray,    # [T]    f32 predicted level per target
+    rad_q: jnp.ndarray = None,  # [Q] f32 per-query radius (None -> unlimited)
+    level_tol: float = 1.0,
+    tile_t: int = 512,
+    interpret: bool = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Row-wise (best, second, argmin) of the masked Hamming matrix.
+
+    Returns (best [Q] f32, second [Q] f32, idx [Q] i32; idx = -1 when no
+    target passed the mask). Padding targets get rad = -1 from the wrapper.
+    """
+    if interpret is None:  # off-TPU the kernel only runs interpreted
+        interpret = jax.default_backend() != "tpu"
+    Q, B = desc_q.shape
+    T = desc_t.shape[0]
+    D = 8 * B
+    Qp = _round_up(max(Q, 8), 8)
+    Tp = _round_up(max(T, tile_t), tile_t)
+
+    a = unpack_pm1(desc_q).astype(jnp.bfloat16)
+    b = unpack_pm1(desc_t).astype(jnp.bfloat16)
+    a = jnp.pad(a, ((0, Qp - Q), (0, 0)))
+    b = jnp.pad(b, ((0, Tp - T), (0, 0)))
+    uvq = jnp.pad(uv_q.astype(jnp.float32), ((0, Qp - Q), (0, 0)))
+    octq = jnp.pad(oct_q.astype(jnp.float32)[:, None], ((0, Qp - Q), (0, 0)))
+    if rad_q is None:
+        rad_q = jnp.full((Q,), 1e9, jnp.float32)
+    radq = jnp.pad(rad_q.astype(jnp.float32)[:, None], ((0, Qp - Q), (0, 0)))
+    uvt = jnp.pad(uv_t.astype(jnp.float32), ((0, Tp - T), (0, 0)))
+    radt = jnp.pad(
+        rad_t.astype(jnp.float32)[:, None], ((0, Tp - T), (0, 0)),
+        constant_values=-1.0,
+    )
+    lvlt = jnp.pad(lvl_t.astype(jnp.float32)[:, None], ((0, Tp - T), (0, 0)))
+    tol = jnp.asarray([[level_tol]], jnp.float32)
+
+    grid = (Tp // tile_t,)
+    best, second, idx = pl.pallas_call(
+        _match_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Qp, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qp, 2), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qp, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qp, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, D), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, 2), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Qp, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qp, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qp, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Qp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Qp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Qp, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(a, uvq, octq, radq, b, uvt, radt, lvlt, tol)
+    best = best[:Q, 0]
+    second = second[:Q, 0]
+    idx = idx[:Q, 0]
+    # targets beyond T can never win (rad = -1 padding), but clamp anyway
+    idx = jnp.where((idx >= 0) & (idx < T) & (best < BIG), idx, -1)
+    return best, second, idx
+
+
+def masked_best_match_reference(
+    desc_q, uv_q, oct_q, desc_t, uv_t, rad_t, lvl_t, rad_q=None, level_tol=1.0
+):
+    """jnp oracle with identical semantics (used off-TPU and in tests)."""
+    a = unpack_pm1(desc_q)
+    b = unpack_pm1(desc_t)
+    nbits = a.shape[-1]
+    ham = 0.5 * (nbits - jnp.dot(a, b.T, preferred_element_type=jnp.float32))
+    if rad_q is None:
+        rad_q = jnp.full((desc_q.shape[0],), 1e9, jnp.float32)
+    rad = jnp.minimum(rad_q[:, None], rad_t[None, :])
+    du = jnp.abs(uv_q[:, None, 0] - uv_t[None, :, 0])
+    dv = jnp.abs(uv_q[:, None, 1] - uv_t[None, :, 1])
+    dl = jnp.abs(oct_q.astype(jnp.float32)[:, None] - lvl_t.astype(jnp.float32)[None, :])
+    mask = (du <= rad) & (dv <= rad) & (dl <= level_tol)
+    d = jnp.where(mask, ham, BIG)
+    best = jnp.min(d, axis=1)
+    idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    d2 = d.at[jnp.arange(d.shape[0]), idx].set(BIG)
+    second = jnp.min(d2, axis=1)
+    idx = jnp.where(best < BIG, idx, -1)
+    return best, second, idx
+
+
+def use_pallas() -> bool:
+    """Pallas path gate: real TPU backends by default. MCSLAM_PALLAS=1
+    forces it on (interpret mode off-TPU, for integration tests);
+    MCSLAM_PALLAS=0 forces the jnp path everywhere."""
+    import os
+
+    v = os.environ.get("MCSLAM_PALLAS", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False

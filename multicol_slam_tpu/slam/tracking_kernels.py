@@ -90,24 +90,44 @@ def project_and_match(
         jnp.round(jnp.log(ratio) / np.log(scale_factor)).astype(jnp.int32), 0, n_levels - 1
     )                                                               # [C,L]
     cand = pts.valid[None] & (z > 0) & in_img & band                # [C, L]
-    # dense Hamming: [C, L, K] via one MXU matmul per camera
-    a = unpack_pm1(pts.desc)                                        # [L, 8B]
-    b = unpack_pm1(feats.desc.reshape(C * K, B)).reshape(C, K, 8 * B)
-    dots = jnp.einsum("lj,ckj->clk", a, b, preferred_element_type=jnp.float32)
-    ham = 0.5 * (8 * B - dots)                                      # [C, L, K]
-    # window + level-band mask
     rad = radius * scale_factor ** pred_level.astype(jnp.float32)   # [C, L]
-    du = jnp.abs(uv_p[:, :, None, 0] - feats.uv[:, None, :, 0])
-    dv = jnp.abs(uv_p[:, :, None, 1] - feats.uv[:, None, :, 1])
-    window = (du <= rad[..., None]) & (dv <= rad[..., None])
-    lvl_ok = jnp.abs(feats.octave[:, None, :] - pred_level[:, :, None]) <= level_tol
-    mask = window & lvl_ok & cand[:, :, None] & feats.valid[:, None, :]
     BIGD = jnp.float32(1e9)
-    d = jnp.where(mask, ham, BIGD)
-    # per-feature best point; then one-to-one by keeping per-point best feature
-    best_pt = jnp.argmin(d, axis=1)                                 # [C, K]
-    best_d = jnp.min(d, axis=1)                                     # [C, K]
-    ok = best_d <= th_desc
+    from multicol_slam_tpu.ops.pallas_match import masked_best_match_pallas, use_pallas
+
+    if use_pallas():
+        # fused kernel: per camera, rows = features, cols = points; the
+        # per-point radius/candidacy folds into rad_t (<0 disables)
+        best_list, idx_list = [], []
+        for c in range(C):
+            rad_t = jnp.where(cand[c], rad[c], -1.0)
+            rad_q = jnp.where(feats.valid[c], BIGD, -1.0)
+            b_c, _, i_c = masked_best_match_pallas(
+                feats.desc[c], feats.uv[c], feats.octave[c],
+                pts.desc, uv_p[c], rad_t, pred_level[c].astype(jnp.float32),
+                rad_q=rad_q, level_tol=float(level_tol),
+            )
+            best_list.append(b_c)
+            idx_list.append(i_c)
+        best_d = jnp.stack(best_list)                               # [C, K]
+        best_pt = jnp.maximum(jnp.stack(idx_list), 0)               # [C, K]
+        ok = (jnp.stack(idx_list) >= 0) & (best_d <= th_desc)
+    else:
+        # dense Hamming: [C, L, K] via one MXU matmul per camera
+        a = unpack_pm1(pts.desc)                                    # [L, 8B]
+        b = unpack_pm1(feats.desc.reshape(C * K, B)).reshape(C, K, 8 * B)
+        dots = jnp.einsum("lj,ckj->clk", a, b, preferred_element_type=jnp.float32)
+        ham = 0.5 * (8 * B - dots)                                  # [C, L, K]
+        # window + level-band mask
+        du = jnp.abs(uv_p[:, :, None, 0] - feats.uv[:, None, :, 0])
+        dv = jnp.abs(uv_p[:, :, None, 1] - feats.uv[:, None, :, 1])
+        window = (du <= rad[..., None]) & (dv <= rad[..., None])
+        lvl_ok = jnp.abs(feats.octave[:, None, :] - pred_level[:, :, None]) <= level_tol
+        mask = window & lvl_ok & cand[:, :, None] & feats.valid[:, None, :]
+        d = jnp.where(mask, ham, BIGD)
+        # per-feature best point; then one-to-one by keeping per-point best feature
+        best_pt = jnp.argmin(d, axis=1)                             # [C, K]
+        best_d = jnp.min(d, axis=1)                                 # [C, K]
+        ok = best_d <= th_desc
     flat_pt = best_pt.reshape(C * K)
     flat_d = best_d.reshape(C * K)
     flat_ok = ok.reshape(C * K)
@@ -176,6 +196,36 @@ def match_window_frames(
     Returns (match_idx [C, K] target index or -1, dist [C, K]).
     """
     C, K, B = feats_q.desc.shape
+    BIGD = jnp.float32(1e9)
+    from multicol_slam_tpu.ops.pallas_match import masked_best_match_pallas, use_pallas
+
+    if use_pallas():
+        zeros = jnp.zeros((K,), jnp.float32)
+        idx_l, best_l, ok_l = [], [], []
+        for c in range(C):
+            rad_t = jnp.where(feats_t.valid[c], float(radius), -1.0)
+            rad_q = jnp.where(feats_q.valid[c], BIGD, -1.0)
+            b_c, s_c, i_c = masked_best_match_pallas(
+                feats_q.desc[c], feats_q.uv[c], zeros,
+                feats_t.desc[c], feats_t.uv[c], rad_t, zeros,
+                rad_q=rad_q, level_tol=1e9,
+            )
+            # mutual check via the swapped call (targets as queries)
+            _, _, i_tq = masked_best_match_pallas(
+                feats_t.desc[c], feats_t.uv[c], zeros,
+                feats_q.desc[c], feats_q.uv[c], rad_q, zeros,
+                rad_q=rad_t, level_tol=1e9,
+            )
+            ok_c = (i_c >= 0) & (b_c <= th_desc) & (b_c < ratio * s_c)
+            ok_c = ok_c & (i_tq[jnp.maximum(i_c, 0)] == jnp.arange(K))
+            idx_l.append(i_c)
+            best_l.append(b_c)
+            ok_l.append(ok_c)
+        idx = jnp.stack(idx_l)
+        best = jnp.stack(best_l)
+        ok = jnp.stack(ok_l)
+        return jnp.where(ok, idx, -1), best
+
     a = unpack_pm1(feats_q.desc.reshape(C * K, B)).reshape(C, K, 8 * B)
     b = unpack_pm1(feats_t.desc.reshape(C * K, B)).reshape(C, K, 8 * B)
     dots = jnp.einsum("cqj,ckj->cqk", a, b, preferred_element_type=jnp.float32)
@@ -184,7 +234,6 @@ def match_window_frames(
     dv = jnp.abs(feats_q.uv[:, :, None, 1] - feats_t.uv[:, None, :, 1])
     mask = (du <= radius) & (dv <= radius)
     mask = mask & feats_q.valid[:, :, None] & feats_t.valid[:, None, :]
-    BIGD = jnp.float32(1e9)
     d = jnp.where(mask, ham, BIGD)
     idx = jnp.argmin(d, axis=2)
     best = jnp.min(d, axis=2)
