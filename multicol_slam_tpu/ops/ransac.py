@@ -238,7 +238,10 @@ def ransac_noncentral_pose(
     frame; Rc/tc [N,3,3]/[N,3] that camera's extrinsics; valid [N].
     """
     N = X.shape[0]
-    idx = sample_indices(key, n_hyp, sample_size, N)
+    # sample only valid rows (padded problems feed valid=False tails)
+    w = valid.astype(jnp.float32)
+    w = w / jnp.maximum(jnp.sum(w), 1.0)
+    idx = sample_indices(key, n_hyp, sample_size, N, weights=w)
     R, t = _noncentral_dlt(X[idx], rays[idx], Rc[idx], tc[idx])   # world->body
     # residual: angular distance between predicted body-frame direction and
     # observed ray for EVERY correspondence under every hypothesis

@@ -45,6 +45,15 @@ KF_REDUNDANT_FRAC = 0.9
 KF_REDUNDANT_OBS = 5
 
 
+def _bucket(n: int, minimum: int, step: Optional[int] = None) -> int:
+    """Smallest padded capacity >= n: multiples of `step` if given, else the
+    next power of two, floored at `minimum` (recompile-avoidance buckets)."""
+    n = max(n, minimum)
+    if step is not None:
+        return ((n + step - 1) // step) * step
+    return 1 << (n - 1).bit_length()
+
+
 class TriangulationOut(NamedTuple):
     X: jnp.ndarray        # [C*K, 3] new world points
     feat1: jnp.ndarray    # [C*K] flat feature idx in KF1 (query)
@@ -144,8 +153,7 @@ class LocalMapper:
         """ProcessNewMultiKeyFrame (cLocalMapping.cpp:145-186): refresh point
         stats for points observed by the new KF."""
         pts = self.store.kf_point[k]
-        for p in np.unique(pts[pts >= 0]):
-            self.store.update_point_stats(int(p))
+        self.store.update_point_stats_many(pts[pts >= 0])
 
     # ------------------------------------------------------------------
     def cull_map_points(self, current_kf: int):
@@ -174,6 +182,7 @@ class LocalMapper:
         s = self.store
         neighbors = s.best_covisible(k, n_neighbors)
         created = 0
+        new_ids: List[int] = []
         pose1 = jnp.asarray(s.kf_pose[k])
         F = s.cfg.feats_per_kf
         C = s.cfg.n_cams
@@ -218,9 +227,11 @@ class LocalMapper:
                 )
                 s.add_observation(k, int(f1[i]), p)
                 s.add_observation(j, int(f2[i]), p)
-                s.update_point_stats(p)
+                new_ids.append(p)
                 self.recent_points.append((p, k))
                 created += 1
+        if new_ids:
+            s.update_point_stats_many(np.asarray(new_ids))
         return created
 
     def _median_depth(self, k: int) -> float:
@@ -231,7 +242,9 @@ class LocalMapper:
         pts = np.unique(pts[pts >= 0])
         if len(pts) == 0:
             return -1.0
-        Mt = np.asarray(cayley_to_hom(jnp.asarray(s.kf_pose[k])))
+        from multicol_slam_tpu.slam.map_store import cayley_to_hom_np
+
+        Mt = cayley_to_hom_np(s.kf_pose[k])
         Xb = (s.pt_X[pts] - Mt[:3, 3]) @ Mt[:3, :3]  # world->body rotation^T
         return float(np.median(np.linalg.norm(Xb, axis=-1)))
 
@@ -263,6 +276,7 @@ class LocalMapper:
         )
         C, K = s.cfg.n_cams, s.cfg.feats_per_cam
         fused = 0
+        touched: List[int] = []
         for j in sorted(targets):
             if not s.kf_valid[j]:
                 continue
@@ -286,7 +300,7 @@ class LocalMapper:
                 existing = s.kf_point[j, f]
                 if existing == BAD_ID:
                     s.add_observation(j, int(f), p)
-                    s.update_point_stats(p)
+                    touched.append(p)
                     fused += 1
                 elif existing != p and s.pt_valid[existing]:
                     # keep the point with more observations (Fuse semantics)
@@ -295,6 +309,8 @@ class LocalMapper:
                     else:
                         s.replace_point(int(existing), p)
                     fused += 1
+        if touched:
+            s.update_point_stats_many(np.asarray(touched))
         return fused
 
     # ------------------------------------------------------------------
@@ -326,32 +342,39 @@ class LocalMapper:
             return
         nK = len(prob["kf_ids"])
         nP = len(prob["pt_ids"])
+        nO = len(prob["obs_kf"])
+        # Bucketed padding: local-BA problem sizes vary every keyframe, and
+        # unpadded shapes would force an XLA recompile per call. Pad to the
+        # next bucket so the jitted solver compiles a handful of times total.
+        pK = _bucket(nK, 8, step=8)
+        pP = _bucket(nP, 256)
+        pO = _bucket(nO, 1024)
         params = BAParams(
-            jnp.asarray(prob["poses"]),
-            jnp.asarray(prob["points"]),
+            jnp.asarray(np.pad(prob["poses"], ((0, pK - nK), (0, 0)))),
+            jnp.asarray(np.pad(prob["points"], ((0, pP - nP), (0, 0)))),
             self.mc6,
             self.intr,
         )
         obs = Observations(
-            jnp.asarray(prob["obs_kf"]),
-            jnp.asarray(prob["obs_pt"]),
-            jnp.asarray(prob["obs_cam"]),
-            jnp.asarray(prob["obs_uv"]),
-            jnp.asarray(prob["obs_inv_sigma2"]),
-            jnp.ones(len(prob["obs_kf"]), bool),
+            jnp.asarray(np.pad(prob["obs_kf"], (0, pO - nO))),
+            jnp.asarray(np.pad(prob["obs_pt"], (0, pO - nO))),
+            jnp.asarray(np.pad(prob["obs_cam"], (0, pO - nO))),
+            jnp.asarray(np.pad(prob["obs_uv"], ((0, pO - nO), (0, 0)))),
+            jnp.asarray(np.pad(prob["obs_inv_sigma2"], (0, pO - nO))),
+            jnp.asarray(np.arange(pO) < nO),
         )
         free = FreeMask(
-            poses=jnp.asarray([i < prob["n_free_kf"] for i in range(nK)]),
-            points=jnp.ones(nP, bool),
+            poses=jnp.asarray(np.arange(pK) < prob["n_free_kf"]),
+            points=jnp.asarray(np.arange(pP) < nP),
         )
         out, _ = bundle_adjust_jit(params, obs, free, max_iters=max_iters, cg_iters=40)
         # prune outlier observations from the map (chi2 pass, :798-860)
-        valid = np.asarray(prune_observations(out, obs))
+        valid = np.asarray(prune_observations(out, obs))[:nO]
         bad = np.nonzero(~valid)[0]
         for i in bad:
             kf_g = int(prob["obs_kf_global"][i])
             s.erase_observation(kf_g, int(prob["obs_feat"][i]))
-        s.write_back(prob, poses=np.asarray(out.poses), points=np.asarray(out.points))
+        s.write_back(prob, poses=np.asarray(out.poses)[:nK], points=np.asarray(out.points)[:nP])
 
     # ------------------------------------------------------------------
     def cull_keyframes(self, k: int):

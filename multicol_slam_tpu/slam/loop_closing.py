@@ -270,8 +270,7 @@ class LoopCloser:
             )
             X_new = np.asarray(sim3_apply(Ri_, ti_, si_, jnp.asarray(Xb_old, jnp.float32)))
             s.pt_X[pts] = X_new
-            for p in pts:
-                s.update_point_stats(int(p))
+            s.update_point_stats_many(pts)
         # --- essential-graph optimization over all keyframes ---------------
         self._essential_graph(k, cand, corrected)
 

@@ -24,9 +24,63 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from multicol_slam_tpu.utils.geometry import cayley_to_hom, hom_inverse
-
 BAD_ID = -1
+
+
+def cayley_to_rot_np(c: np.ndarray) -> np.ndarray:
+    """Pure-numpy Cayley->SO(3) for host bookkeeping (misc.h:135-162
+    semantics; same formula as utils.geometry.cayley_to_rot, but without a
+    JAX dispatch — the map store touches thousands of tiny poses per frame)."""
+    c = np.asarray(c, np.float64)
+    c1, c2, c3 = c[..., 0], c[..., 1], c[..., 2]
+    c1s, c2s, c3s = c1 * c1, c2 * c2, c3 * c3
+    scale = 1.0 + c1s + c2s + c3s
+    R = np.empty(c.shape[:-1] + (3, 3), np.float64)
+    R[..., 0, 0] = 1.0 + c1s - c2s - c3s
+    R[..., 0, 1] = 2.0 * (c1 * c2 - c3)
+    R[..., 0, 2] = 2.0 * (c1 * c3 + c2)
+    R[..., 1, 0] = 2.0 * (c1 * c2 + c3)
+    R[..., 1, 1] = 1.0 - c1s + c2s - c3s
+    R[..., 1, 2] = 2.0 * (c2 * c3 - c1)
+    R[..., 2, 0] = 2.0 * (c1 * c3 - c2)
+    R[..., 2, 1] = 2.0 * (c2 * c3 + c1)
+    R[..., 2, 2] = 1.0 - c1s - c2s + c3s
+    return R / scale[..., None, None]
+
+
+def cayley_to_hom_np(c6: np.ndarray) -> np.ndarray:
+    """Pure-numpy [cayley(3), t(3)] -> 4x4 (misc.h:195-226 semantics)."""
+    c6 = np.asarray(c6, np.float64)
+    M = np.zeros(c6.shape[:-1] + (4, 4), np.float64)
+    M[..., :3, :3] = cayley_to_rot_np(c6[..., :3])
+    M[..., :3, 3] = c6[..., 3:6]
+    M[..., 3, 3] = 1.0
+    return M
+
+
+def rot_to_cayley_np(R: np.ndarray) -> np.ndarray:
+    """Pure-numpy SO(3)->Cayley: C = (R-I)(R+I)^-1, c = (-C12, C02, -C01)."""
+    R = np.asarray(R, np.float64)
+    eye = np.eye(3)
+    C = np.swapaxes(np.linalg.solve(np.swapaxes(R + eye, -1, -2), np.swapaxes(R - eye, -1, -2)), -1, -2)
+    return np.stack([-C[..., 1, 2], C[..., 0, 2], -C[..., 0, 1]], axis=-1)
+
+
+def hom_to_cayley_np(M: np.ndarray) -> np.ndarray:
+    """Pure-numpy 4x4 -> [cayley(3), t(3)]."""
+    M = np.asarray(M, np.float64)
+    return np.concatenate([rot_to_cayley_np(M[..., :3, :3]), M[..., :3, 3]], axis=-1).astype(np.float32)
+
+
+def hom_inverse_np(M: np.ndarray) -> np.ndarray:
+    """Pure-numpy fast SE(3) inverse (cConverter::invMat semantics)."""
+    M = np.asarray(M, np.float64)
+    out = np.zeros_like(M)
+    Rt = np.swapaxes(M[..., :3, :3], -1, -2)
+    out[..., :3, :3] = Rt
+    out[..., :3, 3] = -np.einsum("...ij,...j->...i", Rt, M[..., :3, 3])
+    out[..., 3, 3] = 1.0
+    return out
 
 
 @dataclasses.dataclass
@@ -206,38 +260,54 @@ class MapStore:
         return [j for j, _ in sorted(cov.items(), key=lambda kv: -kv[1])[:n]]
 
     def update_point_stats(self, p: int):
+        self.update_point_stats_many(np.asarray([p]))
+
+    def update_point_stats_many(self, ps: np.ndarray):
         """Recompute distinctive descriptor (median-Hamming medoid,
         cMapPoint.cpp:297-391), mean viewing normal, and scale-invariance
-        distance range (:453-497)."""
-        ks, fs = self.point_observers(p)
-        if len(ks) == 0:
+        distance range (:453-497) for a batch of points with ONE table scan
+        (the per-point variant scanned kf_point once per point — this is the
+        host bookkeeping hot loop after every keyframe insertion)."""
+        ps = np.unique(np.asarray(ps, np.int64))
+        ps = ps[(ps >= 0) & self.pt_valid[ps]]
+        if len(ps) == 0:
             return
-        descs = self.kf_desc[ks, fs]  # [M, B]
-        if len(ks) > 1:
-            x = np.unpackbits(descs[:, None, :] ^ descs[None, :, :], axis=-1).sum(-1)
-            med = np.median(x, axis=1)
-            best = int(np.argmin(med))
-        else:
-            best = 0
-        self.pt_desc[p] = descs[best]
-        self.pt_dmask[p] = self.kf_dmask[ks[best], fs[best]]
-        # normal: mean of (X - camera center) directions; distances from the
-        # observing camera centers set the scale-invariance band
-        X = self.pt_X[p]
-        poses = cayley_to_hom_np(self.kf_pose[ks])
-        centers = poses[:, :3, 3]  # body centers (camera offsets are small)
-        vecs = X[None] - centers
-        dists = np.linalg.norm(vecs, axis=-1) + 1e-12
-        self.pt_normal[p] = (vecs / dists[:, None]).mean(0)
-        n = np.linalg.norm(self.pt_normal[p])
-        if n > 0:
-            self.pt_normal[p] /= n
-        ref = 0  # reference observation = first
-        level = int(self.kf_octave[ks[ref], fs[ref]])
+        # one scan over the observation table for all requested points
+        hit = np.isin(self.kf_point, ps) & self.kf_valid[:, None]
+        ks_all, fs_all = np.nonzero(hit)
+        if len(ks_all) == 0:
+            return
+        pid = self.kf_point[ks_all, fs_all]
+        order = np.argsort(pid, kind="stable")
+        ks_all, fs_all, pid = ks_all[order], fs_all[order], pid[order]
+        starts = np.searchsorted(pid, ps, side="left")
+        ends = np.searchsorted(pid, ps, side="right")
+        # camera centers of all observing keyframes in one shot (body centers;
+        # camera offsets are small vs scene depth)
+        centers_all = self.kf_pose[ks_all][:, 3:6].astype(np.float64)
         sf = self.cfg.scale_factor
-        dist_ref = dists[ref]
-        self.pt_max_dist[p] = dist_ref * (sf ** level)
-        self.pt_min_dist[p] = self.pt_max_dist[p] / (sf ** (self.cfg.n_levels - 1))
+        inv_band = 1.0 / (sf ** (self.cfg.n_levels - 1))
+        for p, s0, s1 in zip(ps, starts, ends):
+            if s1 <= s0:
+                continue
+            ks = ks_all[s0:s1]
+            fs = fs_all[s0:s1]
+            descs = self.kf_desc[ks, fs]  # [M, B]
+            if len(ks) > 1:
+                x = np.unpackbits(descs[:, None, :] ^ descs[None, :, :], axis=-1).sum(-1)
+                best = int(np.argmin(np.median(x, axis=1)))
+            else:
+                best = 0
+            self.pt_desc[p] = descs[best]
+            self.pt_dmask[p] = self.kf_dmask[ks[best], fs[best]]
+            vecs = self.pt_X[p][None] - centers_all[s0:s1]
+            dists = np.linalg.norm(vecs, axis=-1) + 1e-12
+            nrm = (vecs / dists[:, None]).mean(0)
+            n = np.linalg.norm(nrm)
+            self.pt_normal[p] = nrm / n if n > 0 else nrm
+            level = int(self.kf_octave[ks[0], fs[0]])
+            self.pt_max_dist[p] = dists[0] * (sf ** level)
+            self.pt_min_dist[p] = self.pt_max_dist[p] * inv_band
 
     # ------------------------------------------------------------ BA export
     def ba_problem(self, kf_ids: np.ndarray, fixed_kf_ids: np.ndarray = None):
@@ -289,10 +359,3 @@ class MapStore:
             )
         if points is not None:
             self.pt_X[prob["pt_ids"]] = np.asarray(points)
-
-
-def cayley_to_hom_np(c6: np.ndarray) -> np.ndarray:
-    """Host-side cayley->hom (avoids device round trip for bookkeeping)."""
-    import jax.numpy as jnp
-
-    return np.asarray(cayley_to_hom(jnp.asarray(c6)))

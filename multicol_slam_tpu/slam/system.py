@@ -27,7 +27,13 @@ from multicol_slam_tpu.optim.problem import BAParams, FreeMask, Observations
 from multicol_slam_tpu.slam.features import FrameFeatures, extract_features_jit
 from multicol_slam_tpu.slam.initializer import bootstrap, points_to_world
 from multicol_slam_tpu.slam.local_mapping import LocalMapper
-from multicol_slam_tpu.slam.map_store import BAD_ID, MapConfig, MapStore
+from multicol_slam_tpu.slam.map_store import (
+    BAD_ID,
+    MapConfig,
+    MapStore,
+    cayley_to_hom_np,
+    hom_to_cayley_np,
+)
 from multicol_slam_tpu.slam.tracking_kernels import LocalPoints, track_stage
 from multicol_slam_tpu.utils.config import SlamSettings
 from multicol_slam_tpu.utils.geometry import cayley_to_hom, hom_inverse, hom_to_cayley
@@ -165,6 +171,7 @@ class MultiColSLAM:
         pose2 = np.asarray(hom_to_cayley(jnp.asarray(res.Mt2, jnp.float32)))
         k2 = s.add_keyframe(pose2, feats, timestamp, self.frame_id)
         Xw = points_to_world(self.rig, res.leading_cam, res.points_cam)
+        new_ids = []
         for i in range(len(Xw)):
             f1, f2 = int(res.feat1[i]), int(res.feat2[i])
             p = s.add_point(
@@ -178,7 +185,8 @@ class MultiColSLAM:
             )
             s.add_observation(k1, f1, p)
             s.add_observation(k2, f2, p)
-            s.update_point_stats(p)
+            new_ids.append(p)
+        s.update_point_stats_many(np.asarray(new_ids))
         # initial refinement, reference order (cTracking.cpp:513-701):
         # cross-camera re-observation FIRST (metric-scale-pinning
         # observations), then GBA with only the first pose anchored so the
@@ -218,8 +226,8 @@ class MultiColSLAM:
         # ---- stage 1: motion-model matching against last frame's points ---
         pose_pred = self.last_pose
         if self.settings.use_motion_model:
-            Mt = np.asarray(cayley_to_hom(jnp.asarray(self.last_pose)))
-            pose_pred = np.asarray(hom_to_cayley(jnp.asarray(Mt @ self.velocity)))
+            Mt = cayley_to_hom_np(self.last_pose)
+            pose_pred = hom_to_cayley_np(Mt @ self.velocity)
         prev_pts = self.last_assign_global
         pt_ids = np.unique(prev_pts[prev_pts >= 0]) if prev_pts is not None else np.empty(0, np.int64)
         pt_ids = pt_ids[s.pt_valid[pt_ids]] if len(pt_ids) else pt_ids
@@ -297,10 +305,10 @@ class MultiColSLAM:
             m.is_keyframe = True
 
     def _finish_frame(self, new_pose: np.ndarray):
-        Mt_last = np.asarray(cayley_to_hom(jnp.asarray(self.last_pose)))
-        Mt_new = np.asarray(cayley_to_hom(jnp.asarray(new_pose)))
+        Mt_last = cayley_to_hom_np(self.last_pose)
+        Mt_new = cayley_to_hom_np(new_pose)
         self.velocity = (np.linalg.inv(Mt_last) @ Mt_new).astype(np.float32)
-        self.last_pose = new_pose.astype(np.float32)
+        self.last_pose = np.asarray(new_pose, np.float32)
 
     def _local_map_points(self, seed_pts: np.ndarray) -> np.ndarray:
         """UpdateReferenceKeyFrames + local points (cTracking.cpp:961-1130):
@@ -374,13 +382,20 @@ class MultiColSLAM:
         cur_valid = np.asarray(feats.valid).reshape(C * K)
         Rc_all = np.asarray(self.rig.Mc)[:, :3, :3]
         tc_all = np.asarray(self.rig.Mc)[:, :3, 3]
+        from multicol_slam_tpu.slam.local_mapping import _bucket
+
         for cand in cands:
             fk = np.nonzero((s.kf_point[cand] >= 0))[0]
             if len(fk) < 15:
                 continue
-            d = np.array(
-                hamming_matrix(jnp.asarray(cur_desc), jnp.asarray(s.kf_desc[cand][fk]))
-            )
+            # pad candidate descriptors to a bucket so the Hamming kernel and
+            # the RANSAC program compile once per bucket, not per attempt
+            nF = len(fk)
+            pF = _bucket(nF, 256)
+            cdesc = np.zeros((pF, B), np.uint8)
+            cdesc[:nF] = s.kf_desc[cand][fk]
+            d = np.array(hamming_matrix(jnp.asarray(cur_desc), jnp.asarray(cdesc)))
+            d[:, nF:] = 1e9
             d[~cur_valid] = 1e9
             best = d.argmin(1)
             bestd = d.min(1)
@@ -389,15 +404,22 @@ class MultiColSLAM:
                 continue
             sel = np.nonzero(ok)[0]
             pts = s.kf_point[cand][fk[best[sel]]]
-            Xw = s.pt_X[pts]
-            cam_idx = sel // K
+            nS = len(sel)
+            pS = _bucket(nS, 64)
+            Xw = np.zeros((pS, 3), np.float32)
+            Xw[:nS] = s.pt_X[pts]
+            rays_p = np.zeros((pS, 3), np.float32)
+            rays_p[:nS] = cur_rays[sel]
+            rays_p[nS:, 2] = 1.0
+            cam_idx = np.zeros(pS, np.int64)
+            cam_idx[:nS] = sel // K
             res = ransac_noncentral_pose(
                 jax.random.fold_in(self.key, self.frame_id),
-                jnp.asarray(Xw, jnp.float32),
-                jnp.asarray(cur_rays[sel], jnp.float32),
+                jnp.asarray(Xw),
+                jnp.asarray(rays_p),
                 jnp.asarray(Rc_all[cam_idx], jnp.float32),
                 jnp.asarray(tc_all[cam_idx], jnp.float32),
-                jnp.ones(len(sel), bool),
+                jnp.asarray(np.arange(pS) < nS),
                 n_hyp=160,
             )
             if int(res.n_inliers) < 10:
@@ -441,23 +463,30 @@ class MultiColSLAM:
         prob = s.ba_problem(free_kfs, anchors)
         if prob is None:
             return
+        from multicol_slam_tpu.slam.local_mapping import _bucket
+
+        nK, nP, nO = len(prob["kf_ids"]), len(prob["pt_ids"]), len(prob["obs_kf"])
+        pK, pP, pO = _bucket(nK, 8, step=8), _bucket(nP, 256), _bucket(nO, 1024)
         params = BAParams(
-            jnp.asarray(prob["poses"]), jnp.asarray(prob["points"]), self.mc6, self.intr
+            jnp.asarray(np.pad(prob["poses"], ((0, pK - nK), (0, 0)))),
+            jnp.asarray(np.pad(prob["points"], ((0, pP - nP), (0, 0)))),
+            self.mc6,
+            self.intr,
         )
         obs = Observations(
-            jnp.asarray(prob["obs_kf"]),
-            jnp.asarray(prob["obs_pt"]),
-            jnp.asarray(prob["obs_cam"]),
-            jnp.asarray(prob["obs_uv"]),
-            jnp.asarray(prob["obs_inv_sigma2"]),
-            jnp.ones(len(prob["obs_kf"]), bool),
+            jnp.asarray(np.pad(prob["obs_kf"], (0, pO - nO))),
+            jnp.asarray(np.pad(prob["obs_pt"], (0, pO - nO))),
+            jnp.asarray(np.pad(prob["obs_cam"], (0, pO - nO))),
+            jnp.asarray(np.pad(prob["obs_uv"], ((0, pO - nO), (0, 0)))),
+            jnp.asarray(np.pad(prob["obs_inv_sigma2"], (0, pO - nO))),
+            jnp.asarray(np.arange(pO) < nO),
         )
         free = FreeMask(
-            poses=jnp.asarray([i < prob["n_free_kf"] for i in range(len(prob["kf_ids"]))]),
-            points=jnp.ones(len(prob["pt_ids"]), bool),
+            poses=jnp.asarray(np.arange(pK) < prob["n_free_kf"]),
+            points=jnp.asarray(np.arange(pP) < nP),
         )
         out, _ = bundle_adjust_jit(params, obs, free, max_iters=max_iters, cg_iters=20)
-        s.write_back(prob, poses=np.asarray(out.poses), points=np.asarray(out.points))
+        s.write_back(prob, poses=np.asarray(out.poses)[:nK], points=np.asarray(out.points)[:nP])
 
     # ------------------------------------------------------------------
     def reset(self):

@@ -17,5 +17,7 @@ os.environ["XLA_FLAGS"] = (
 jax.config.update("jax_platforms", os.environ.get("MCSLAM_TEST_PLATFORM", "cpu"))
 
 # Persistent compilation cache: first run pays XLA compile cost, reruns don't.
+# Threshold 0: the SLAM pipeline compiles many ~0.1s programs (bucketed BA
+# shapes, per-stage kernels) whose *count* adds up — cache all of them.
 jax.config.update("jax_compilation_cache_dir", "/tmp/mcslam_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
