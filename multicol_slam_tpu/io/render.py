@@ -39,7 +39,7 @@ def render_frame(world: SyntheticWorld, t: int, rng_seed: int = 1234) -> np.ndar
         Xc = world.points @ Tinv[:3, :3].T + Tinv[:3, 3]
         uv = np.asarray(cam_world_to_img(rig.cams, c, jnp.asarray(Xc, jnp.float32)))
         ok = Xc[:, 2] > 0
-        ok &= np.asarray(in_mirror_mask(rig.cams, c, jnp.asarray(uv, jnp.float32), 0))
+        ok &= np.asarray(in_mirror_mask(rig.cams, c, jnp.asarray(uv, jnp.float32)))
         ok &= np.linalg.norm(Xc, axis=-1) < 25.0
         for i in np.nonzero(ok)[0]:
             u, v = int(round(uv[i, 0])), int(round(uv[i, 1]))

@@ -123,7 +123,7 @@ def synthesize_features(
         Xc = points @ Tinv[:3, :3].T + Tinv[:3, 3]
         uv = np.asarray(cam_world_to_img(rig.cams, c, jnp.asarray(Xc, jnp.float32)))
         ok = Xc[:, 2] > 0
-        ok &= np.asarray(in_mirror_mask(rig.cams, c, jnp.asarray(uv, jnp.float32), 0))
+        ok &= np.asarray(in_mirror_mask(rig.cams, c, jnp.asarray(uv, jnp.float32)))
         ok &= np.linalg.norm(Xc, axis=-1) < 25.0
         idx = np.nonzero(ok)[0]
         rng.shuffle(idx)

@@ -179,25 +179,32 @@ def rig_img_to_world(cam: OmniCamera, uv: jnp.ndarray) -> jnp.ndarray:
 # Mirror mask
 # ---------------------------------------------------------------------------
 
-def in_mirror_mask(cam: OmniCamera, cam_idx, uv: jnp.ndarray, level) -> jnp.ndarray:
-    """Analytic mirror-mask test at a pyramid level, replacing the raster masks
-    (cam_model_omni.cpp:165-181 + CreateMirrorMask :183-222): a pixel is valid
-    if inside the image and within the circle of radius (v0_l + offset[level])
-    around the principal point, where v0_l and the image dims are ceil-halved
-    per level. Returns bool of uv's batch shape; `level` may be an array.
+def in_mirror_mask(cam: OmniCamera, cam_idx, uv: jnp.ndarray, scale=1.0) -> jnp.ndarray:
+    """Analytic mirror-mask test, replacing the raster masks.
+
+    Reference semantics: the level-0 mask is the circle of radius
+    (v0 + offset[0]=22) around the principal point (CreateMirrorMask,
+    cam_model_omni.cpp:183-222); every projection-time query uses pyr=0
+    (isPointInMirrorMask call sites all pass 0). The *extractor* resizes the
+    level-0 mask through the 1.2-scale pyramid with INTER_NEAREST
+    (mdBRIEFextractorOct.cpp:1182), so at pyramid level l the circle simply
+    scales by s = 1/scaleFactor^l. `scale` is that pyramid scale
+    (1.0 for level-0 / projection queries); uv is in level coordinates.
+    NB: CreateMirrorMask's halved-per-level masks (offsets {22,10,5,1}) are
+    never queried above pyr 0 in the reference — dead configuration.
     """
-    scale = jnp.exp2(-jnp.asarray(level, uv.dtype))  # per-level halving ~ /2^l
+    scale = jnp.asarray(scale, uv.dtype)
     pp = cam.pp[cam_idx]
     wh = cam.wh[cam_idx]
-    u0_l = jnp.ceil(pp[..., 0] * scale)
-    v0_l = jnp.ceil(pp[..., 1] * scale)
-    w_l = jnp.ceil(wh[..., 0] * scale)
-    h_l = jnp.ceil(wh[..., 1] * scale)
-    off = jnp.asarray(MIRROR_OFFSETS, uv.dtype)[jnp.clip(jnp.asarray(level), 0, 3)]
+    u0_l = pp[..., 0] * scale
+    v0_l = pp[..., 1] * scale
+    w_l = jnp.round(wh[..., 0] * scale)
+    h_l = jnp.round(wh[..., 1] * scale)
     u, v = uv[..., 0], uv[..., 1]
     inside = (u > 0) & (u < w_l - 1) & (v > 0) & (v < h_l - 1)
-    r = jnp.sqrt((u - u0_l) ** 2 + (v - v0_l) ** 2)
-    return inside & (r < v0_l + off)
+    r2 = (u - u0_l) ** 2 + (v - v0_l) ** 2
+    rad = (pp[..., 1] + MIRROR_OFFSETS[0]) * scale
+    return inside & (r2 < rad * rad)
 
 
 def mirror_mask_raster(cam: OmniCamera, cam_idx: int, n_levels: int):

@@ -72,13 +72,70 @@ def ic_angles(img: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(m01, m10)
 
 
+def ic_angles_dense(imgs: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
+    """IC orientation via dense moment maps — the TPU-shaped formulation.
+
+    Instead of gathering a 31x31 patch per keypoint (hundreds of scalar
+    loads each — gathers are the slow path on TPU), compute the centroid
+    moment maps m10/m01 for EVERY pixel as one 2-output-channel convolution
+    (MXU-friendly), then gather just 2 values per keypoint.
+
+    imgs [C, H, W] f32; centers [C, K, 2] int32 -> angles [C, K] f32.
+    Identical math to `ic_angles` (exact same weights; borders differ only
+    for keypoints closer than 15 px to the edge, which the detection border
+    of 19 px already excludes).
+    """
+    wx, wy, _ = _ic_angle_weights()
+    kern = np.stack([wx, wy])[:, None]  # [2, 1, 31, 31] OIHW
+    pad = HALF_PATCH
+    m = jax.lax.conv_general_dilated(
+        imgs[:, None],
+        jnp.asarray(kern, imgs.dtype),
+        window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )  # [C, 2, H, W]
+    H, W = imgs.shape[1:]
+    rows = jnp.clip(centers[..., 1], 0, H - 1)
+    cols = jnp.clip(centers[..., 0], 0, W - 1)
+    m10 = jnp.take_along_axis(
+        m[:, 0].reshape(imgs.shape[0], -1), rows * W + cols, axis=1
+    )
+    m01 = jnp.take_along_axis(
+        m[:, 1].reshape(imgs.shape[0], -1), rows * W + cols, axis=1
+    )
+    return jnp.arctan2(m01, m10)
+
+
+# Patch radius for descriptor sampling: the BRIEF pattern lives in
+# [-13, 13]; a rotation stretches it to <= 13*sqrt(2) ~ 18.4 and the dBRIEF
+# camera distortion a little further. 23 covers every offset the pattern
+# generators produce (larger offsets clamp, matching edge-clamp semantics).
+SAMPLE_RADIUS = 23
+
+
 def _sample_at(img: jnp.ndarray, centers: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
     """Sample img at centers[k] + offsets[k, p]. img [H, W]; centers [K, 2]
-    int32 (u, v); offsets [K, P, 2] int32 -> [K, P] values (edge clamped)."""
+    int32 (u, v); offsets [K, P, 2] int32 -> [K, P] values (edge clamped).
+
+    TPU-shaped two-step: gather one contiguous [47, 47] block per keypoint
+    (block gather — fast), then resolve the scattered pattern offsets with a
+    per-row take_along_axis inside the small patch. Avoids K*P independent
+    scalar gathers from the full image.
+    """
+    from multicol_slam_tpu.ops.image import gather_patches
+
     H, W = img.shape
-    cols = jnp.clip(centers[:, None, 0] + offsets[..., 0], 0, W - 1)
-    rows = jnp.clip(centers[:, None, 1] + offsets[..., 1], 0, H - 1)
-    return img[rows, cols]
+    R = SAMPLE_RADIUS
+    P = 2 * R + 1
+    patches = gather_patches(img, centers, R).reshape(centers.shape[0], P * P)
+    # patch-local coordinates of each sample (account for window clamping)
+    r0 = jnp.clip(centers[:, 1] - R, 0, max(H - P, 0))
+    c0 = jnp.clip(centers[:, 0] - R, 0, max(W - P, 0))
+    rows = jnp.clip(centers[:, None, 1] + offsets[..., 1] - r0[:, None], 0, P - 1)
+    cols = jnp.clip(centers[:, None, 0] + offsets[..., 0] - c0[:, None], 0, P - 1)
+    return jnp.take_along_axis(patches, rows * P + cols, axis=1)
 
 
 def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:

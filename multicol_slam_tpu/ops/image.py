@@ -108,12 +108,17 @@ def gather_patches(img: jnp.ndarray, centers: jnp.ndarray, radius: int) -> jnp.n
     """Gather square patches around integer centers with edge clamp.
 
     img [H, W]; centers [K, 2] int32 (u=x col, v=y row) -> [K, P, P] where
-    P = 2*radius+1. Vectorized gather — the TPU-shaped replacement for the
-    reference's per-keypoint pointer walks (IC_Angle, descriptor sampling).
+    P = 2*radius+1.
+
+    TPU note: expressed as a vmapped dynamic_slice, which lowers to ONE
+    gather of [P, P] *blocks* (contiguous lanes along the image row) instead
+    of K*P*P independent scalar gathers — order-of-magnitude faster on TPU,
+    where scattered scalar gathers serialize. Edge behavior: the whole
+    window clamps to stay inside the image (identical to per-pixel clamp for
+    keypoints >= radius from the border, which detection borders guarantee).
     """
     H, W = img.shape
     P = 2 * radius + 1
-    d = jnp.arange(-radius, radius + 1)
-    rows = jnp.clip(centers[:, 1, None, None] + d[None, :, None], 0, H - 1)
-    cols = jnp.clip(centers[:, 0, None, None] + d[None, None, :], 0, W - 1)
-    return img[rows, cols]
+    r0 = jnp.clip(centers[:, 1] - radius, 0, max(H - P, 0))
+    c0 = jnp.clip(centers[:, 0] - radius, 0, max(W - P, 0))
+    return jax.vmap(lambda r, c: jax.lax.dynamic_slice(img, (r, c), (P, P)))(r0, c0)

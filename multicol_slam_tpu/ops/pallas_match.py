@@ -129,7 +129,7 @@ def masked_best_match_pallas(
     target passed the mask). Padding targets get rad = -1 from the wrapper.
     """
     if interpret is None:  # off-TPU the kernel only runs interpreted
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _on_tpu()
     Q, B = desc_q.shape
     T = desc_t.shape[0]
     D = 8 * B
@@ -212,6 +212,21 @@ def masked_best_match_reference(
     return best, second, idx
 
 
+def _on_tpu() -> bool:
+    """True when the default device is TPU hardware. Checks the device, not
+    the backend name: tunneled TPU plugins (e.g. the 'axon' platform) report
+    a TPU device_kind under a non-'tpu' platform string."""
+    try:
+        d = jax.devices()[0]
+        return (
+            jax.default_backend() == "tpu"
+            or "tpu" in getattr(d, "platform", "").lower()
+            or "tpu" in getattr(d, "device_kind", "").lower()
+        )
+    except Exception:  # pragma: no cover
+        return False
+
+
 def use_pallas() -> bool:
     """Pallas path gate: real TPU backends by default. MCSLAM_PALLAS=1
     forces it on (interpret mode off-TPU, for integration tests);
@@ -223,7 +238,4 @@ def use_pallas() -> bool:
         return False
     if v == "1":
         return True
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    return _on_tpu()

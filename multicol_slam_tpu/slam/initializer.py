@@ -230,7 +230,7 @@ def _scale_scores(
         )                                                     # [F, C, M, 3]
         uv_p = intr_project(intr[None, :, None, :], Xcam)     # [F, C, M, 2]
         vis = Xcam[..., 2] > 0
-        vis = vis & in_mirror_mask(cams, jnp.arange(intr.shape[0])[None, :, None], uv_p, 0)
+        vis = vis & in_mirror_mask(cams, jnp.arange(intr.shape[0])[None, :, None], uv_p)
         du = jnp.abs(uv_p[..., None, 0] - feat_uv[:, :, None, :, 0])
         dv = jnp.abs(uv_p[..., None, 1] - feat_uv[:, :, None, :, 1])
         hit = (du <= radius) & (dv <= radius) & ham_ok & vis[..., None]

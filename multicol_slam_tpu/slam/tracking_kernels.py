@@ -79,7 +79,7 @@ def project_and_match(
     L = pts.X.shape[0]
     uv_p, z = project_rig(mc6, intr, pose0, pts.X)                 # [C, L, 2], [C, L]
     cam_ids = jnp.arange(C)[:, None]
-    in_img = in_mirror_mask(cams, cam_ids, uv_p, 0)                # [C, L]
+    in_img = in_mirror_mask(cams, cam_ids, uv_p)                # [C, L]
     # scale-invariance distance band + predicted pyramid level
     Mt = cayley_to_hom(pose0)
     centers = jnp.einsum("ij,cjk->cik", Mt, cayley_to_hom(mc6))[:, :3, 3]  # [C,3]

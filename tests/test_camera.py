@@ -113,7 +113,7 @@ def test_mirror_mask(rig):
     # analytic test agrees with raster at level 0 on a probe grid
     uu = jnp.asarray(RNG.uniform(1, w0 - 2, size=(500,)), jnp.float32)
     vv = jnp.asarray(RNG.uniform(1, h0 - 2, size=(500,)), jnp.float32)
-    got = np.asarray(in_mirror_mask(rig.cams, 0, jnp.stack([uu, vv], -1), 0))
+    got = np.asarray(in_mirror_mask(rig.cams, 0, jnp.stack([uu, vv], -1)))
     want = masks[0][np.asarray(vv, np.int32), np.asarray(uu, np.int32)]
     assert np.mean(got == want) > 0.98
 

@@ -94,6 +94,20 @@ def test_ic_angle_rotation_equivariance():
     assert abs(abs(d) - np.pi / 2) < 0.1
 
 
+def test_ic_angle_dense_matches_gather():
+    """The dense-conv IC-angle path equals the patch-gather oracle away from
+    image borders (the extraction path only queries inside the 19px border)."""
+    rng = np.random.default_rng(3)
+    imgs = rng.uniform(0, 255, (2, 96, 128)).astype(np.float32)
+    centers = np.stack(
+        [rng.integers(20, 108, (2, 17)), rng.integers(20, 76, (2, 17))], axis=-1
+    ).astype(np.int32)
+    dense = np.asarray(brief_ops.ic_angles_dense(jnp.asarray(imgs), jnp.asarray(centers)))
+    for c in range(2):
+        ref = np.asarray(brief_ops.ic_angles(jnp.asarray(imgs[c]), jnp.asarray(centers[c])))
+        np.testing.assert_allclose(dense[c], ref, atol=1e-3)
+
+
 def test_orb_descriptor_deterministic_and_discriminative():
     img = jnp.asarray(RNG.uniform(0, 255, size=(128, 128)).astype(np.float32))
     blurred = image_ops.box_filter(img[None], 5)[0]
