@@ -62,7 +62,10 @@ def main(argv=None):
     viz_dir = None
     viz_every = 25
     save_map_path = None
+    load_map_path = None
     metrics_path = None
+    profile_dir = None
+    localization_only = False
     pos = []
     it = iter(argv)
     for a in it:
@@ -72,14 +75,24 @@ def main(argv=None):
             viz_every = int(next(it))
         elif a == "--save-map":
             save_map_path = next(it)
+        elif a == "--load-map":
+            load_map_path = next(it)
         elif a == "--metrics":
             metrics_path = next(it)
+        elif a == "--profile":
+            profile_dir = next(it)
+        elif a == "--localization":
+            localization_only = True
         else:
             pos.append(a)
     if len(pos) != 4:
         print(__doc__)
         return 1
     voc_path, settings_path, calib_dir, seq_dir = pos
+
+    from multicol_slam_tpu.utils.jaxcache import enable_compile_cache
+
+    enable_compile_cache()
 
     from multicol_slam_tpu.slam.system import MultiColSLAM, WORKING
     from multicol_slam_tpu.utils.config import load_rig, load_slam_settings
@@ -96,6 +109,25 @@ def main(argv=None):
         except Exception as e:  # self-trained fallback inside LoopCloser
             print(f"vocabulary load failed ({e}); loop closer will self-train")
     slam = MultiColSLAM(rig, settings)
+    if load_map_path is not None:
+        # checkpoint/resume (SURVEY.md §5): restart from a saved map and
+        # relocalize into it — with --localization this is tracking-only
+        # against a frozen prior map
+        from multicol_slam_tpu.io.checkpoint import load_map
+        from multicol_slam_tpu.slam.local_mapping import LocalMapper
+        from multicol_slam_tpu.slam.system import LOST
+
+        slam.store = load_map(load_map_path)
+        slam.mapper = LocalMapper(slam.store, rig)
+        if slam.loop_closer is not None:
+            from multicol_slam_tpu.slam.loop_closing import LoopCloser
+
+            slam.loop_closer = LoopCloser(slam.store, rig)
+        slam.state = LOST
+        print(f"resumed map: {int(slam.store.kf_valid.sum())} keyframes, "
+              f"{int(slam.store.pt_valid.sum())} points")
+    if localization_only:
+        slam.activate_localization_mode()
     if voc is not None and slam.loop_closer is not None:
         from multicol_slam_tpu.models.vocab import KeyFrameDatabase
 
@@ -110,6 +142,12 @@ def main(argv=None):
 
     stamps, files = load_image_list(seq_dir, settings.traj_start_frame, settings.traj_end_frame)
     print(f"tracking {len(stamps)} frames ...")
+    if profile_dir is not None:
+        # structured device tracing (SURVEY.md §5 tracing: replaces the
+        # reference's std::chrono prints with a real profiler timeline)
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
     times = []
     for i, (t, imgs) in enumerate(zip(stamps, files)):
         images = np.stack([load_gray(p) for p in imgs])
@@ -120,6 +158,11 @@ def main(argv=None):
             viz.update(slam, images, m)
         if i % 50 == 0:
             print(f"frame {i}: state={m.state} inliers={m.n_inliers} {times[-1]*1e3:.1f} ms")
+    if profile_dir is not None:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {profile_dir}")
     slam.shutdown()
     out = "MKFTrajectoryLAFIDA.txt"
     slam.save_trajectory(out)

@@ -207,6 +207,24 @@ def in_mirror_mask(cam: OmniCamera, cam_idx, uv: jnp.ndarray, scale=1.0) -> jnp.
     return inside & (r2 < rad * rad)
 
 
+def mirror_mask_grid(cam: OmniCamera, h: int, w: int, scale=1.0) -> jnp.ndarray:
+    """Dense mirror-mask raster for ALL cameras at one pyramid level, without
+    materializing a [C, h, w, 2] coordinate tensor: broadcast row/col iotas
+    against per-camera circle parameters. Returns [C, h, w] bool. Same
+    semantics as `in_mirror_mask` on a full pixel grid."""
+    scale = jnp.asarray(scale, jnp.float32)
+    u0 = cam.pp[:, 0, None, None] * scale
+    v0 = cam.pp[:, 1, None, None] * scale
+    w_l = jnp.round(cam.wh[:, 0, None, None] * scale)
+    h_l = jnp.round(cam.wh[:, 1, None, None] * scale)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 2)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 1)
+    inside = (xx > 0) & (xx < w_l - 1) & (yy > 0) & (yy < h_l - 1)
+    r2 = (xx - u0) ** 2 + (yy - v0) ** 2
+    rad = (cam.pp[:, 1, None, None] + MIRROR_OFFSETS[0]) * scale
+    return inside & (r2 < rad * rad)
+
+
 def mirror_mask_raster(cam: OmniCamera, cam_idx: int, n_levels: int):
     """Materialize boolean mirror masks per pyramid level for one camera
     (host-side helper; used by the feature extractor to mask detections)."""

@@ -11,7 +11,7 @@ fixed-shape per-cell top-k followed by a global top-N — equivalent capability
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,44 +26,68 @@ FAST_RING = np.array(
     np.int32,
 )
 
+# AGAST pattern-size variants (mdBRIEFextractorOct's fastAgastType knob,
+# cTracking.cpp extractor params): AGAST is an accelerated DECISION-TREE
+# implementation of the same segment-test corner — on TPU the predicate is
+# computed densely for every pixel, so the variants differ only in ring
+# geometry + arc length. 0 = AGAST_5_8, 1 = AGAST_7_12s, 2 = OAST_9_16
+# (identical corner set to FAST-9/16).
+RING_5_8 = np.array(
+    [(0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1)],
+    np.int32,
+)
+RING_7_12 = np.array(
+    [
+        (0, -2), (1, -2), (2, -1), (2, 0), (2, 1), (1, 2),
+        (0, 2), (-1, 2), (-2, 1), (-2, 0), (-2, -1), (-1, -2),
+    ],
+    np.int32,
+)
+RING_ARC = {0: (RING_5_8, 5), 1: (RING_7_12, 7), 2: (FAST_RING, 9)}
 
-def _ring_views(img: jnp.ndarray) -> jnp.ndarray:
-    """Stack the 16 ring-shifted copies: out[i, c, y, x] = img[c, y+dy_i, x+dx_i]
+
+def _ring_views(img: jnp.ndarray, ring: np.ndarray) -> jnp.ndarray:
+    """Stack the ring-shifted copies: out[i, c, y, x] = img[c, y+dy_i, x+dx_i]
     (wrap at borders; detections are border-masked by the caller)."""
-    views = [jnp.roll(img, shift=(-int(dy), -int(dx)), axis=(1, 2)) for dx, dy in FAST_RING]
+    views = [jnp.roll(img, shift=(-int(dy), -int(dx)), axis=(1, 2)) for dx, dy in ring]
     return jnp.stack(views, axis=0)
 
 
-def _has_arc9(bits: jnp.ndarray) -> jnp.ndarray:
-    """bits: int32 bitmask arrays (low 16 bits = ring predicate). True where a
-    circular run of >= 9 consecutive set bits exists. Classic doubled-mask
-    trick: m = bits | bits<<16; AND of 9 successively shifted copies."""
-    m = bits | (bits << 16)
+def _has_arc(bits: jnp.ndarray, n_ring: int, arc: int) -> jnp.ndarray:
+    """bits: int32 bitmask arrays (low n_ring bits = ring predicate). True
+    where a circular run of >= arc consecutive set bits exists. Classic
+    doubled-mask trick: m = bits | bits<<n; AND of arc shifted copies."""
+    m = bits | (bits << n_ring)
     r = m
-    for i in range(1, 9):
+    for i in range(1, arc):
         r = r & (m >> i)
-    return (r & 0xFFFF) != 0
+    return (r & ((1 << n_ring) - 1)) != 0
 
 
 def fast_corners(
-    img: jnp.ndarray, threshold: float
+    img: jnp.ndarray, threshold: float, pattern: int = 2
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Dense FAST-9/16 on [C, H, W] float images.
+    """Dense FAST/AGAST segment-test corners on [C, H, W] float images.
+
+    pattern: 2 -> 9/16 (FAST-9 == OAST_9_16, the default), 1 -> 7/12,
+    0 -> 5/8 (the AGAST small-pattern variants).
 
     Returns (is_corner [C,H,W] bool, score [C,H,W] f32) where score is the
     FAST sum-of-abs-differences over the qualifying arc's pixels (the common
     FAST score; used when settings.score_type==1 and as NMS tiebreak).
     """
-    ring = _ring_views(img)            # [16, C, H, W]
+    ring_tab, arc = RING_ARC[int(pattern)]
+    n_ring = len(ring_tab)
+    ring = _ring_views(img, ring_tab)  # [n_ring, C, H, W]
     center = img[None]
     bright = ring > center + threshold
     dark = ring < center - threshold
     # pack predicates into int32 bitmasks
-    weights = (1 << np.arange(16)).astype(np.int32)
-    wb = jnp.asarray(weights).reshape(16, 1, 1, 1)
+    weights = (1 << np.arange(n_ring)).astype(np.int32)
+    wb = jnp.asarray(weights).reshape(n_ring, 1, 1, 1)
     bright_bits = jnp.sum(bright.astype(jnp.int32) * wb, axis=0)
     dark_bits = jnp.sum(dark.astype(jnp.int32) * wb, axis=0)
-    is_corner = _has_arc9(bright_bits) | _has_arc9(dark_bits)
+    is_corner = _has_arc(bright_bits, n_ring, arc) | _has_arc(dark_bits, n_ring, arc)
     # score: sum over ring of |v - c| - t for pixels passing the predicate
     diff = jnp.abs(ring - center) - threshold
     score_b = jnp.sum(jnp.where(bright, diff, 0.0), axis=0)
@@ -83,16 +107,28 @@ def select_topk_grid(
     score: jnp.ndarray,
     valid: jnp.ndarray,
     k_total: int,
-    cell: int = 32,
-    k_per_cell: int = 8,
+    cell: Optional[int] = None,
+    k_per_cell: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Spatially-uniform top-k: cap detections per cell x cell tile, then take
     the global top k_total. The static-shape analogue of DistributeOctTree.
+
+    By default the cell size adapts so there are >= 2*k_total cells and only
+    the single best corner per cell survives — one max + one argmax pass over
+    the tiles (lax.top_k with k=8 costs ~k passes; this was the extractor's
+    second-biggest kernel). Pass cell/k_per_cell explicitly to override.
 
     score [C, H, W] (-inf where invalid), valid [C, H, W] bool.
     Returns (uv [C, k_total, 2] int32, resp [C, k_total], ok [C, k_total]).
     """
     C, H, W = score.shape
+    if cell is None:
+        cell = 32
+        while cell > 4 and (H // cell) * (W // cell) < 2 * k_total:
+            cell //= 2
+    if k_per_cell is None:
+        n_cells = max((H // cell) * (W // cell), 1)
+        k_per_cell = max(1, -(-2 * k_total // n_cells))
     s = jnp.where(valid, score, -jnp.inf)
     Hp = -(-H // cell) * cell
     Wp = -(-W // cell) * cell
@@ -100,7 +136,11 @@ def select_topk_grid(
     gh, gw = Hp // cell, Wp // cell
     # [C, gh, gw, cell*cell]
     tiles = s.reshape(C, gh, cell, gw, cell).transpose(0, 1, 3, 2, 4).reshape(C, gh, gw, cell * cell)
-    cell_scores, cell_idx = jax.lax.top_k(tiles, k_per_cell)  # [C, gh, gw, k]
+    if k_per_cell == 1:
+        cell_scores = jnp.max(tiles, axis=-1, keepdims=True)
+        cell_idx = jnp.argmax(tiles, axis=-1)[..., None]
+    else:
+        cell_scores, cell_idx = jax.lax.top_k(tiles, k_per_cell)  # [C, gh, gw, k]
     # reconstruct absolute pixel coords for the per-cell winners
     iy = cell_idx // cell
     ix = cell_idx % cell
@@ -109,7 +149,12 @@ def select_topk_grid(
     abs_y = (iy + base_y).reshape(C, -1)
     abs_x = (ix + base_x).reshape(C, -1)
     flat_scores = cell_scores.reshape(C, -1)
-    top_scores, top_i = jax.lax.top_k(flat_scores, k_total)
+    k_eff = min(k_total, flat_scores.shape[1])
+    top_scores, top_i = jax.lax.top_k(flat_scores, k_eff)
+    if k_eff < k_total:
+        pad = k_total - k_eff
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        top_i = jnp.pad(top_i, ((0, 0), (0, pad)))
     uv = jnp.stack(
         [jnp.take_along_axis(abs_x, top_i, 1), jnp.take_along_axis(abs_y, top_i, 1)], axis=-1
     ).astype(jnp.int32)

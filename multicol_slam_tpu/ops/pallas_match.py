@@ -188,6 +188,126 @@ def masked_best_match_pallas(
     return best, second, idx
 
 
+@functools.partial(
+    jax.jit, static_argnames=("level_tol", "tile_t", "interpret")
+)
+def masked_best_match_pallas_cams(
+    desc_q: jnp.ndarray,   # [C, Q, B] uint8
+    uv_q: jnp.ndarray,     # [C, Q, 2] f32
+    oct_q: jnp.ndarray,    # [C, Q]    f32/i32
+    desc_t: jnp.ndarray,   # [C, T, B] uint8 (or [T, B] broadcast by caller)
+    uv_t: jnp.ndarray,     # [C, T, 2] f32
+    rad_t: jnp.ndarray,    # [C, T]    f32 (<0 disables)
+    lvl_t: jnp.ndarray,    # [C, T]    f32
+    rad_q: jnp.ndarray = None,  # [C, Q] f32 (None -> unlimited)
+    level_tol: float = 1.0,
+    tile_t: int = 512,
+    interpret: bool = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """All-cameras variant: ONE pallas_call with grid (C, T-tiles) instead of
+    C sequential kernel launches — the camera axis is a grid dimension, per
+    SURVEY.md §2.3 'batch over cameras inside every kernel'. Same semantics
+    per camera as masked_best_match_pallas."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    C, Q, B = desc_q.shape
+    T = desc_t.shape[-2]
+    D = 8 * B
+    Qp = _round_up(max(Q, 8), 8)
+    Tp = _round_up(max(T, tile_t), tile_t)
+
+    a = unpack_pm1(desc_q.reshape(C * Q, B)).astype(jnp.bfloat16).reshape(C, Q, D)
+    b = unpack_pm1(desc_t.reshape(-1, B)).astype(jnp.bfloat16).reshape(desc_t.shape[:-1] + (D,))
+    if b.ndim == 2:
+        b = jnp.broadcast_to(b[None], (C, T, D))
+    a = jnp.pad(a, ((0, 0), (0, Qp - Q), (0, 0)))
+    b = jnp.pad(b, ((0, 0), (0, Tp - T), (0, 0)))
+    uvq = jnp.pad(uv_q.astype(jnp.float32), ((0, 0), (0, Qp - Q), (0, 0)))
+    octq = jnp.pad(oct_q.astype(jnp.float32)[..., None], ((0, 0), (0, Qp - Q), (0, 0)))
+    if rad_q is None:
+        rad_q = jnp.full((C, Q), 1e9, jnp.float32)
+    radq = jnp.pad(rad_q.astype(jnp.float32)[..., None], ((0, 0), (0, Qp - Q), (0, 0)))
+    uvt = jnp.pad(uv_t.astype(jnp.float32), ((0, 0), (0, Tp - T), (0, 0)))
+    radt = jnp.pad(
+        rad_t.astype(jnp.float32)[..., None], ((0, 0), (0, Tp - T), (0, 0)),
+        constant_values=-1.0,
+    )
+    lvlt = jnp.pad(lvl_t.astype(jnp.float32)[..., None], ((0, 0), (0, Tp - T), (0, 0)))
+    tol = jnp.asarray([[level_tol]], jnp.float32)
+
+    def kernel(a_ref, uvq_ref, octq_ref, radq_ref, b_ref, uvt_ref, radt_ref,
+               lvlt_ref, tol_ref, best_ref, second_ref, idx_ref):
+        # identical math to _match_kernel; blocks carry a leading camera dim
+        t = pl.program_id(1)
+        TT = b_ref.shape[1]
+        nbits = jnp.float32(a_ref.shape[-1])
+
+        @pl.when(t == 0)
+        def _():
+            best_ref[:] = jnp.full(best_ref.shape, BIG, jnp.float32)
+            second_ref[:] = jnp.full(second_ref.shape, BIG, jnp.float32)
+            idx_ref[:] = jnp.full(idx_ref.shape, -1, jnp.int32)
+
+        dot = jax.lax.dot_general(
+            a_ref[0], b_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # [Q, TT]
+        ham = 0.5 * (nbits - dot)
+        du = jnp.abs(uvq_ref[0, :, 0:1] - uvt_ref[0, :, 0][None, :])
+        dv = jnp.abs(uvq_ref[0, :, 1:2] - uvt_ref[0, :, 1][None, :])
+        rad = jnp.minimum(radq_ref[0, :, 0:1], radt_ref[0, :, 0][None, :])
+        dl = jnp.abs(octq_ref[0, :, 0:1] - lvlt_ref[0, :, 0][None, :])
+        mask = (du <= rad) & (dv <= rad) & (dl <= tol_ref[0, 0])
+        d = jnp.where(mask, ham, BIG)
+        t1 = jnp.min(d, axis=1, keepdims=True)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        is_min = d <= t1
+        a1 = jnp.min(jnp.where(is_min, cols, TT), axis=1, keepdims=True)
+        d_wo = jnp.where(cols == a1, BIG, d)
+        t2 = jnp.min(d_wo, axis=1, keepdims=True)
+        r1, r2, ri = best_ref[0], second_ref[0], idx_ref[0]
+        new_r1 = jnp.minimum(r1, t1)
+        new_r2 = jnp.minimum(jnp.maximum(r1, t1), jnp.minimum(r2, t2))
+        new_ri = jnp.where(t1 < r1, a1 + t * TT, ri)
+        best_ref[0] = new_r1
+        second_ref[0] = new_r2
+        idx_ref[0] = new_ri
+
+    grid = (C, Tp // tile_t)
+    best, second, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Qp, D), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, 2), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, 1), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, 1), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t, D), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t, 2), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t, 1), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t, 1), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda c, t: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Qp, 1), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, 1), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, 1), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, Qp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((C, Qp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((C, Qp, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(a, uvq, octq, radq, b, uvt, radt, lvlt, tol)
+    best = best[:, :Q, 0]
+    second = second[:, :Q, 0]
+    idx = idx[:, :Q, 0]
+    idx = jnp.where((idx >= 0) & (idx < T) & (best < BIG), idx, -1)
+    return best, second, idx
+
+
 def masked_best_match_reference(
     desc_q, uv_q, oct_q, desc_t, uv_t, rad_t, lvl_t, rad_q=None, level_tol=1.0
 ):

@@ -36,6 +36,7 @@ from multicol_slam_tpu.optim.problem import (
     FreeMask,
     Observations,
     huber_weights,
+    pose_residuals_and_jac,
     residuals_and_jacobians,
     residuals_only,
     robust_cost,
@@ -277,9 +278,9 @@ def pose_only_solve(
         r, z = residuals_only(p, obs)
         return robust_cost(r, z, obs, huber_delta)
 
-    def gn_iter(i, carry):
-        p, lam_i, cost = carry
-        r, z, Jp, _, _, _ = residuals_and_jacobians(p, obs)
+    def gn_iter(carry):
+        p, lam_i, cost, it, _ = carry
+        r, z, Jp = pose_residuals_and_jac(p, obs)
         w, _ = huber_weights(r, z, obs, huber_delta)
         g = jnp.zeros((K, 6)).at[obs.kf].add(jnp.einsum("oij,oi->oj", Jp, -(w[:, None] * r)))
         H = jnp.zeros((K, 6, 6)).at[obs.kf].add(jnp.einsum("oia,o,oib->oab", Jp, w, Jp))
@@ -289,15 +290,23 @@ def pose_only_solve(
         cand = BAParams(p.poses + delta, p.points, p.mc, p.intr)
         new_cost = cost_of(cand)
         # damped-GN step acceptance: reject uphill/non-finite steps and raise
-        # damping (keeps the fixed-iteration loop from diverging on
-        # ill-conditioned frames — the failure mode plain GN has here)
+        # damping (keeps the loop from diverging on ill-conditioned frames —
+        # the failure mode plain GN has here)
         accept = jnp.isfinite(new_cost) & (new_cost <= cost)
         p_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, p)
         lam_next = jnp.clip(jnp.where(accept, lam_i * 0.5, lam_i * 10.0), 1e-6, 1e4)
-        return p_next, lam_next, jnp.where(accept, new_cost, cost)
+        # converged: an accepted step that barely moved the pose (early exit —
+        # the reference's g2o terminate action plays the same role)
+        done = accept & (jnp.max(jnp.abs(delta)) < 1e-6)
+        return p_next, lam_next, jnp.where(accept, new_cost, cost), it + 1, done
 
-    p_out, _, _ = jax.lax.fori_loop(
-        0, n_iters, gn_iter, (params, jnp.asarray(lam), cost_of(params))
+    def gn_cond(carry):
+        _, _, _, it, done = carry
+        return (it < n_iters) & (~done)
+
+    p_out, _, _, _, _ = jax.lax.while_loop(
+        gn_cond, gn_iter,
+        (params, jnp.asarray(lam), cost_of(params), jnp.asarray(0), jnp.asarray(False)),
     )
     r, z = residuals_only(p_out, obs)
     chi2 = jnp.where(obs.valid & (z > 0), jnp.sum(r * r, -1) * obs.inv_sigma2, jnp.inf)

@@ -108,6 +108,29 @@ def residuals_and_jacobians(params: BAParams, obs: Observations):
     return r, z, Jpose, Jpt, Jmc, Jintr
 
 
+def pose_residuals_and_jac(params: BAParams, obs: Observations):
+    """Pose-only fast path: r [O,2], z [O], Jpose [O,2,6] and nothing else.
+    The full-table variant pushes 37 jacfwd tangents (6+3+6+22) through the
+    chain; PoseOptimization only ever uses the 6 pose columns, so this is
+    ~6x less Jacobian compute per GN iteration."""
+
+    def with_jac(kf, pt, cam, uv):
+        p6 = params.poses[kf]
+        m6 = params.mc[cam]
+        iv = params.intr[cam]
+        X = params.points[pt]
+        # has_aux threads (r, z) out of the same forward pass as the Jacobian
+
+        def f(a):
+            r, z = residual_one(a, m6, iv, X, uv)
+            return r, (r, z)
+
+        Jp, (r, z) = jax.jacfwd(f, has_aux=True)(p6)
+        return r, z, Jp
+
+    return jax.vmap(with_jac)(obs.kf, obs.pt, obs.cam, obs.uv)
+
+
 def residuals_only(params: BAParams, obs: Observations):
     def one(kf, pt, cam, uv):
         return residual_one(params.poses[kf], params.mc[cam], params.intr[cam], params.points[pt], uv)

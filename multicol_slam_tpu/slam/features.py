@@ -96,41 +96,49 @@ def _extract_level(
     # ComputeKeyPointsOld; operator() at :1262 uses ComputeKeyPointsOctTree).
     # Dense per-level Harris would cost ~8 full-image convolutions per level
     # for a ranking the reference never computes.
-    is_corner, score = fast_ops.fast_corners(level_img, fast_th)
+    is_corner, score = fast_ops.fast_corners(
+        level_img, fast_th, pattern=settings.fast_agast_type if settings.use_agast else 2
+    )
     score = jnp.where(is_corner, score, -jnp.inf)
     # NMS on the detection score
     nms = score >= image_ops.max_pool_3x3(score)
     bmask = fast_ops.border_mask(h, w, EDGE_BORDER)[None]
     # mirror mask at this level: the level-0 circle scaled by the pyramid
     # scale (mdBRIEFextractorOct.cpp:1182 INTER_NEAREST mask resize)
-    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    grid_uv = jnp.stack([xx, yy], -1)[None].repeat(C, 0)  # [C, h, w, 2]
-    cam_ids = jnp.arange(C)[:, None, None]
-    mmask = in_mirror_mask(cams, cam_ids, grid_uv, scale=settings.scale_factor ** (-level))
+    from multicol_slam_tpu.models.camera import mirror_mask_grid
+
+    mmask = mirror_mask_grid(cams, h, w, scale=settings.scale_factor ** (-level))
     valid = nms & bmask & mmask & jnp.isfinite(score)
     uv_l, resp, ok = fast_ops.select_topk_grid(score, valid, quota)
-    # orientation for all cameras (block-gather patches + MXU moment einsum;
-    # NB a dense 31x31 moment conv was measured 4x SLOWER on TPU v5e — narrow
-    # 2-channel convs waste the MXU — so the patch-gather path is the fast one)
-    ang = jax.vmap(brief_ops.ic_angles)(level_img, uv_l)
+    # ONE patch gather per keypoint (from the blurred level, which the
+    # descriptors sample anyway) feeds both the IC-angle moments and the
+    # descriptor one-hot sampler — patch gathers are the expensive TPU
+    # primitive here, so they are never repeated. (Deviation from the
+    # reference, which computes IC_Angle on the raw level: a 5x5 box blur
+    # barely moves the intensity centroid, and descriptors/angles only need
+    # to be self-consistent within this framework.)
+    patches, r0, c0 = jax.vmap(brief_ops.gather_sample_patches)(blurred, uv_l)
+    ang = jax.vmap(brief_ops.ic_angles_from_patches)(patches, uv_l, r0, c0)
 
     # descriptors per camera (vmap over the camera axis)
-    def per_cam(img_raw, img_blur, uv_c, ang_c, pol, invpol, cde, pp):
+    def per_cam(patches_c, r0_c, c0_c, uv_c, ang_c, pol, invpol, cde, pp):
         if settings.use_mdbrief:
             scale = settings.scale_factor ** level
             a0 = pol[0]
             undist = brief_ops.undistort_keypoints(pol, cde, pp, a0, uv_c.astype(jnp.float32) * scale)
-            desc, dmask = brief_ops.compute_dbrief(
-                img_blur, uv_c, undist, ang_c, invpol, cde, pp, a0,
+            desc, dmask = brief_ops.compute_dbrief_from_patches(
+                patches_c, uv_c, r0_c, c0_c, undist, ang_c, invpol, cde, pp, a0,
                 settings.desc_size, bool(settings.learn_masks),
             )
         else:
-            desc = brief_ops.compute_orb(img_blur, uv_c, ang_c, settings.desc_size)
+            desc = brief_ops.compute_orb_from_patches(
+                patches_c, uv_c, r0_c, c0_c, ang_c, settings.desc_size
+            )
             dmask = jnp.full(desc.shape, 255, jnp.uint8)
         return desc, dmask
 
     desc, dmask = jax.vmap(per_cam)(
-        level_img, blurred, uv_l, ang, cams.pol, cams.invpol, cams.cde, cams.pp
+        patches, r0, c0, uv_l, ang, cams.pol, cams.invpol, cams.cde, cams.pp
     )
     scale = settings.scale_factor ** level
     uv0 = uv_l.astype(jnp.float32) * scale

@@ -109,6 +109,8 @@ class MultiColSLAM:
         # fixed capacities for the two tracking stages (static jit shapes)
         self._stage1_cap = self.map_cfg.feats_per_kf
         self._stage2_cap = 4096
+        self.localization_only = False
+        self._force_reloc = False
 
     # ------------------------------------------------------------------
     def track(self, images=None, feats: Optional[FrameFeatures] = None, timestamp: float = 0.0) -> FrameMetrics:
@@ -223,6 +225,15 @@ class MultiColSLAM:
         s = self.store
         sf = self.settings.extractor.scale_factor
         nl = self.settings.extractor.n_levels
+        # ForceRelocalisation (cTracking.cpp:1340-1351): requested after a
+        # loop correction; re-acquire the pose from scratch before tracking
+        if self._force_reloc:
+            self._force_reloc = False
+            if self._relocalize(feats, m):
+                self.state = WORKING
+            else:
+                self.state = LOST
+                return
         # ---- stage 1: motion-model matching against last frame's points ---
         pose_pred = self.last_pose
         if self.settings.use_motion_model:
@@ -297,6 +308,8 @@ class MultiColSLAM:
         # c1a: too long since last KF; c1b+c2: tracking weakening vs the
         # reference KF while still healthy (>KF_MIN_INLIERS) ----------------
         self.frames_since_kf += 1
+        if self.localization_only:
+            return  # ActivateLocalizationMode: track against the frozen map
         c1a = self.frames_since_kf >= self.settings.max_frames
         c1b = self.frames_since_kf >= self.settings.min_frames
         c2 = (n_inl < KF_REF_RATIO * max(self.ref_kf_tracked, 1)) and n_inl > KF_MIN_INLIERS
@@ -504,6 +517,21 @@ class MultiColSLAM:
 
     def shutdown(self):
         pass  # no threads to join: the pipeline is host-sequential
+
+    def activate_localization_mode(self):
+        """cSystem::ActivateLocalizationMode: freeze the map (no new
+        keyframes / mapping / loop closing), keep tracking against it. The
+        reference declares this API but ships it commented out
+        (cSystem.cpp:187-209); here it is functional."""
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    def force_relocalisation(self):
+        """cTracking::ForceRelocalisation (cTracking.cpp:1340-1351): the next
+        frame re-acquires its pose via relocalization before tracking."""
+        self._force_reloc = True
 
     # ------------------------------------------------------------------
     def save_trajectory(self, path: str):

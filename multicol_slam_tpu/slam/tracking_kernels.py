@@ -92,25 +92,21 @@ def project_and_match(
     cand = pts.valid[None] & (z > 0) & in_img & band                # [C, L]
     rad = radius * scale_factor ** pred_level.astype(jnp.float32)   # [C, L]
     BIGD = jnp.float32(1e9)
-    from multicol_slam_tpu.ops.pallas_match import masked_best_match_pallas, use_pallas
+    from multicol_slam_tpu.ops.pallas_match import masked_best_match_pallas_cams, use_pallas
 
     if use_pallas():
-        # fused kernel: per camera, rows = features, cols = points; the
-        # per-point radius/candidacy folds into rad_t (<0 disables)
-        best_list, idx_list = [], []
-        for c in range(C):
-            rad_t = jnp.where(cand[c], rad[c], -1.0)
-            rad_q = jnp.where(feats.valid[c], BIGD, -1.0)
-            b_c, _, i_c = masked_best_match_pallas(
-                feats.desc[c], feats.uv[c], feats.octave[c],
-                pts.desc, uv_p[c], rad_t, pred_level[c].astype(jnp.float32),
-                rad_q=rad_q, level_tol=float(level_tol),
-            )
-            best_list.append(b_c)
-            idx_list.append(i_c)
-        best_d = jnp.stack(best_list)                               # [C, K]
-        best_pt = jnp.maximum(jnp.stack(idx_list), 0)               # [C, K]
-        ok = (jnp.stack(idx_list) >= 0) & (best_d <= th_desc)
+        # fused kernel, ONE launch for all cameras (grid = cameras x tiles):
+        # rows = features, cols = points; per-point radius/candidacy folds
+        # into rad_t (<0 disables)
+        rad_t = jnp.where(cand, rad, -1.0)                          # [C, L]
+        rad_q = jnp.where(feats.valid, BIGD, -1.0)                  # [C, K]
+        best_d, _, idx = masked_best_match_pallas_cams(
+            feats.desc, feats.uv, feats.octave,
+            pts.desc, uv_p, rad_t, pred_level.astype(jnp.float32),
+            rad_q=rad_q, level_tol=float(level_tol),
+        )
+        best_pt = jnp.maximum(idx, 0)                               # [C, K]
+        ok = (idx >= 0) & (best_d <= th_desc)
     else:
         # dense Hamming: [C, L, K] via one MXU matmul per camera
         a = unpack_pm1(pts.desc)                                    # [L, 8B]
@@ -197,33 +193,26 @@ def match_window_frames(
     """
     C, K, B = feats_q.desc.shape
     BIGD = jnp.float32(1e9)
-    from multicol_slam_tpu.ops.pallas_match import masked_best_match_pallas, use_pallas
+    from multicol_slam_tpu.ops.pallas_match import masked_best_match_pallas_cams, use_pallas
 
     if use_pallas():
-        zeros = jnp.zeros((K,), jnp.float32)
-        idx_l, best_l, ok_l = [], [], []
-        for c in range(C):
-            rad_t = jnp.where(feats_t.valid[c], float(radius), -1.0)
-            rad_q = jnp.where(feats_q.valid[c], BIGD, -1.0)
-            b_c, s_c, i_c = masked_best_match_pallas(
-                feats_q.desc[c], feats_q.uv[c], zeros,
-                feats_t.desc[c], feats_t.uv[c], rad_t, zeros,
-                rad_q=rad_q, level_tol=1e9,
-            )
-            # mutual check via the swapped call (targets as queries)
-            _, _, i_tq = masked_best_match_pallas(
-                feats_t.desc[c], feats_t.uv[c], zeros,
-                feats_q.desc[c], feats_q.uv[c], rad_q, zeros,
-                rad_q=rad_t, level_tol=1e9,
-            )
-            ok_c = (i_c >= 0) & (b_c <= th_desc) & (b_c < ratio * s_c)
-            ok_c = ok_c & (i_tq[jnp.maximum(i_c, 0)] == jnp.arange(K))
-            idx_l.append(i_c)
-            best_l.append(b_c)
-            ok_l.append(ok_c)
-        idx = jnp.stack(idx_l)
-        best = jnp.stack(best_l)
-        ok = jnp.stack(ok_l)
+        zeros = jnp.zeros((C, K), jnp.float32)
+        rad_t = jnp.where(feats_t.valid, float(radius), -1.0)
+        rad_q = jnp.where(feats_q.valid, BIGD, -1.0)
+        best, second, idx = masked_best_match_pallas_cams(
+            feats_q.desc, feats_q.uv, zeros,
+            feats_t.desc, feats_t.uv, rad_t, zeros,
+            rad_q=rad_q, level_tol=1e9,
+        )
+        # mutual check via the swapped call (targets as queries)
+        _, _, i_tq = masked_best_match_pallas_cams(
+            feats_t.desc, feats_t.uv, zeros,
+            feats_q.desc, feats_q.uv, rad_q, zeros,
+            rad_q=rad_t, level_tol=1e9,
+        )
+        ok = (idx >= 0) & (best <= th_desc) & (best < ratio * second)
+        mutual = jnp.take_along_axis(i_tq, jnp.maximum(idx, 0), axis=1) == jnp.arange(K)[None, :]
+        ok = ok & mutual
         return jnp.where(ok, idx, -1), best
 
     a = unpack_pm1(feats_q.desc.reshape(C * K, B)).reshape(C, K, 8 * B)

@@ -51,6 +51,29 @@ def test_kernel_matches_oracle(Q, T):
     np.testing.assert_allclose(s1[sec], s2[sec], rtol=0, atol=0.5)
 
 
+def test_cams_kernel_matches_oracle():
+    """The all-cameras grid variant == per-camera oracle on every camera."""
+    from multicol_slam_tpu.ops.pallas_match import masked_best_match_pallas_cams
+
+    C, Q, T = 3, 64, 600
+    per_cam = [_problem(100 + c, Q, T) for c in range(C)]
+    stack = lambda i: jnp.asarray(np.stack([p[i] for p in per_cam]))
+    b, s, i = masked_best_match_pallas_cams(
+        stack(0), stack(1), stack(2), stack(3), stack(4), stack(5), stack(6),
+        rad_q=stack(7), level_tol=2.0, interpret=True,
+    )
+    for c in range(C):
+        dq, uvq, octq, dt, uvt, radt, lvlt, radq = per_cam[c]
+        b2, s2, i2 = masked_best_match_reference(
+            jnp.asarray(dq), jnp.asarray(uvq), jnp.asarray(octq),
+            jnp.asarray(dt), jnp.asarray(uvt), jnp.asarray(radt), jnp.asarray(lvlt),
+            rad_q=jnp.asarray(radq), level_tol=2.0,
+        )
+        assert (np.asarray(i[c]) == np.asarray(i2)).all()
+        m = np.asarray(i2) >= 0
+        np.testing.assert_allclose(np.asarray(b[c])[m], np.asarray(b2)[m], atol=0.5)
+
+
 def test_all_masked_gives_minus_one():
     dq, uvq, octq, dt, uvt, radt, lvlt, _ = _problem(0, 16, 256)
     radt[:] = -1.0
