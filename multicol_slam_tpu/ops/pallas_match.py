@@ -207,7 +207,10 @@ def masked_best_match_pallas_cams(
     """All-cameras variant: ONE pallas_call with grid (C, T-tiles) instead of
     C sequential kernel launches — the camera axis is a grid dimension, per
     SURVEY.md §2.3 'batch over cameras inside every kernel'. Same semantics
-    per camera as masked_best_match_pallas."""
+    per camera as masked_best_match_pallas, plus a 4th output col_best [C, T]
+    = per-TARGET best masked distance over all queries of that camera (the
+    one-to-one duplicate-claim resolution, computed inside the kernel instead
+    of a serialized scatter-min on the host program)."""
     if interpret is None:
         interpret = not _on_tpu()
     C, Q, B = desc_q.shape
@@ -236,7 +239,7 @@ def masked_best_match_pallas_cams(
     tol = jnp.asarray([[level_tol]], jnp.float32)
 
     def kernel(a_ref, uvq_ref, octq_ref, radq_ref, b_ref, uvt_ref, radt_ref,
-               lvlt_ref, tol_ref, best_ref, second_ref, idx_ref):
+               lvlt_ref, tol_ref, best_ref, second_ref, idx_ref, colb_ref):
         # identical math to _match_kernel; blocks carry a leading camera dim
         t = pl.program_id(1)
         TT = b_ref.shape[1]
@@ -273,9 +276,11 @@ def masked_best_match_pallas_cams(
         best_ref[0] = new_r1
         second_ref[0] = new_r2
         idx_ref[0] = new_ri
+        # per-target best over the query axis (each (c, t) tile written once)
+        colb_ref[0] = jnp.min(d, axis=0, keepdims=True)
 
     grid = (C, Tp // tile_t)
-    best, second, idx = pl.pallas_call(
+    best, second, idx, col_best = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -293,11 +298,13 @@ def masked_best_match_pallas_cams(
             pl.BlockSpec((1, Qp, 1), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Qp, 1), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Qp, 1), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_t), lambda c, t: (c, 0, t), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((C, Qp, 1), jnp.float32),
             jax.ShapeDtypeStruct((C, Qp, 1), jnp.float32),
             jax.ShapeDtypeStruct((C, Qp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((C, 1, Tp), jnp.float32),
         ],
         interpret=interpret,
     )(a, uvq, octq, radq, b, uvt, radt, lvlt, tol)
@@ -305,7 +312,7 @@ def masked_best_match_pallas_cams(
     second = second[:, :Q, 0]
     idx = idx[:, :Q, 0]
     idx = jnp.where((idx >= 0) & (idx < T) & (best < BIG), idx, -1)
-    return best, second, idx
+    return best, second, idx, col_best[:, 0, :T]
 
 
 def masked_best_match_reference(

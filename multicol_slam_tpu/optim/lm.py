@@ -282,8 +282,15 @@ def pose_only_solve(
         p, lam_i, cost, it, _ = carry
         r, z, Jp = pose_residuals_and_jac(p, obs)
         w, _ = huber_weights(r, z, obs, huber_delta)
-        g = jnp.zeros((K, 6)).at[obs.kf].add(jnp.einsum("oij,oi->oj", Jp, -(w[:, None] * r)))
-        H = jnp.zeros((K, 6, 6)).at[obs.kf].add(jnp.einsum("oia,o,oib->oab", Jp, w, Jp))
+        if K == 1:
+            # tracking case: every row hits pose 0 — a plain MXU reduction.
+            # (.at[kf].add with all-duplicate indices is a serialized scatter
+            # on TPU: measured ~0.4 ms/GN-iteration against ~0.04 for the sum)
+            g = jnp.einsum("oij,oi->j", Jp, -(w[:, None] * r))[None]
+            H = jnp.einsum("oia,o,oib->ab", Jp, w, Jp)[None]
+        else:
+            g = jnp.zeros((K, 6)).at[obs.kf].add(jnp.einsum("oij,oi->oj", Jp, -(w[:, None] * r)))
+            H = jnp.zeros((K, 6, 6)).at[obs.kf].add(jnp.einsum("oia,o,oib->oab", Jp, w, Jp))
         Hd = H + (lam_i * jnp.maximum(jnp.diagonal(H, axis1=-2, axis2=-1), 1e-8))[..., None] * jnp.eye(6) + 1e-8 * jnp.eye(6)
         delta = jnp.linalg.solve(Hd, g[..., None])[..., 0]
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)

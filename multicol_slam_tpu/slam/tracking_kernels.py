@@ -97,16 +97,25 @@ def project_and_match(
     if use_pallas():
         # fused kernel, ONE launch for all cameras (grid = cameras x tiles):
         # rows = features, cols = points; per-point radius/candidacy folds
-        # into rad_t (<0 disables)
+        # into rad_t (<0 disables). col_best = per-(cam, point) best distance
+        # over all features — the duplicate-claim resolution, free inside the
+        # kernel (a scatter-min here costs ~1.2 ms/stage on TPU).
         rad_t = jnp.where(cand, rad, -1.0)                          # [C, L]
         rad_q = jnp.where(feats.valid, BIGD, -1.0)                  # [C, K]
-        best_d, _, idx = masked_best_match_pallas_cams(
+        best_d, _, idx, col_best = masked_best_match_pallas_cams(
             feats.desc, feats.uv, feats.octave,
             pts.desc, uv_p, rad_t, pred_level.astype(jnp.float32),
             rad_q=rad_q, level_tol=float(level_tol),
         )
         best_pt = jnp.maximum(idx, 0)                               # [C, K]
         ok = (idx >= 0) & (best_d <= th_desc)
+        flat_pt = best_pt.reshape(C * K)
+        flat_d = best_d.reshape(C * K)
+        flat_ok = ok.reshape(C * K)
+        cam_of = jnp.repeat(jnp.arange(C), K)
+        keep = flat_ok & (flat_d <= col_best[cam_of, flat_pt])
+        assign = jnp.where(keep, flat_pt, -1)
+        return assign, flat_d, keep
     else:
         # dense Hamming: [C, L, K] via one MXU matmul per camera
         a = unpack_pm1(pts.desc)                                    # [L, 8B]
@@ -199,13 +208,13 @@ def match_window_frames(
         zeros = jnp.zeros((C, K), jnp.float32)
         rad_t = jnp.where(feats_t.valid, float(radius), -1.0)
         rad_q = jnp.where(feats_q.valid, BIGD, -1.0)
-        best, second, idx = masked_best_match_pallas_cams(
+        best, second, idx, _ = masked_best_match_pallas_cams(
             feats_q.desc, feats_q.uv, zeros,
             feats_t.desc, feats_t.uv, rad_t, zeros,
             rad_q=rad_q, level_tol=1e9,
         )
         # mutual check via the swapped call (targets as queries)
-        _, _, i_tq = masked_best_match_pallas_cams(
+        _, _, i_tq, _ = masked_best_match_pallas_cams(
             feats_t.desc, feats_t.uv, zeros,
             feats_q.desc, feats_q.uv, rad_q, zeros,
             rad_q=rad_t, level_tol=1e9,

@@ -58,7 +58,7 @@ def test_cams_kernel_matches_oracle():
     C, Q, T = 3, 64, 600
     per_cam = [_problem(100 + c, Q, T) for c in range(C)]
     stack = lambda i: jnp.asarray(np.stack([p[i] for p in per_cam]))
-    b, s, i = masked_best_match_pallas_cams(
+    b, s, i, colb = masked_best_match_pallas_cams(
         stack(0), stack(1), stack(2), stack(3), stack(4), stack(5), stack(6),
         rad_q=stack(7), level_tol=2.0, interpret=True,
     )
@@ -72,6 +72,19 @@ def test_cams_kernel_matches_oracle():
         assert (np.asarray(i[c]) == np.asarray(i2)).all()
         m = np.asarray(i2) >= 0
         np.testing.assert_allclose(np.asarray(b[c])[m], np.asarray(b2)[m], atol=0.5)
+        # col_best == per-target min of the masked distance matrix
+        from multicol_slam_tpu.ops.matching import unpack_pm1
+
+        a_pm = np.asarray(unpack_pm1(jnp.asarray(dq)))
+        t_pm = np.asarray(unpack_pm1(jnp.asarray(dt)))
+        ham = 0.5 * (a_pm.shape[1] - a_pm @ t_pm.T)
+        radm = np.minimum(radq[:, None], radt[None, :])
+        du = np.abs(uvq[:, None, 0] - uvt[None, :, 0])
+        dv = np.abs(uvq[:, None, 1] - uvt[None, :, 1])
+        dl = np.abs(octq[:, None] - lvlt[None, :])
+        mask = (du <= radm) & (dv <= radm) & (dl <= 2.0)
+        dmat = np.where(mask, ham, 1e9)
+        np.testing.assert_allclose(np.asarray(colb[c]), dmat.min(0), atol=0.5)
 
 
 def test_all_masked_gives_minus_one():
