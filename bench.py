@@ -111,16 +111,72 @@ def main():
     p.block_until_ready()
     dt = time.perf_counter() - t0
     fps = n_iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "tracking_frames_per_s_per_chip",
-                "value": round(fps, 2),
-                "unit": f"frames/s (3x754x480 fisheye rig, 400 feats x 8 levels, 2 pose stages, {n_inliers} inliers)",
-                "vs_baseline": round(fps / 25.0, 3),
-            }
-        )
+
+    # ---- phase 2: whole-pipeline latency WITH keyframe insertions ---------
+    # The steady-state fps above measures non-keyframe frames only; the
+    # reference's 25 fps gate covers the pipelined whole (mapping + loop
+    # closing on worker threads, cSystem.cpp:98,102). Run the full system in
+    # async-mapping mode on a synthetic sequence with regular keyframe
+    # insertions and report p50 / p95 / worst per-frame track latency
+    # (features precomputed: this phase isolates pipeline stalls, extraction
+    # throughput is already in the fps metric).
+    lat = _pipeline_latency()
+    out = {
+        "metric": "tracking_frames_per_s_per_chip",
+        "value": round(fps, 2),
+        "unit": f"frames/s (3x754x480 fisheye rig, 400 feats x 8 levels, 2 pose stages, {n_inliers} inliers)",
+        "vs_baseline": round(fps / 25.0, 3),
+    }
+    out.update(lat)
+    print(json.dumps(out))
+
+
+def _pipeline_latency(n_frames: int = 80):
+    import jax.numpy as jnp
+
+    from multicol_slam_tpu.io.synthetic import make_world
+    from multicol_slam_tpu.slam.map_store import MapConfig
+    from multicol_slam_tpu.slam.system import MultiColSLAM
+    from multicol_slam_tpu.utils.config import ExtractorSettings, SlamSettings
+
+    world = make_world(n_points=800, n_frames=n_frames, n_cams=3, n_feats=250,
+                       noise_px=0.2, trajectory="circle_noyaw", radius=3.0,
+                       seed=12, period=int(0.8 * n_frames))
+    feats = [world.frame_features(t) for t in range(n_frames)]
+    settings = SlamSettings(
+        fps=7.5,  # min/max_frames 2/5: force frequent keyframe insertions
+        extractor=ExtractorSettings(n_features=world.n_feats, n_levels=1),
     )
+    cfg = MapConfig(max_keyframes=64, max_points=8000, n_cams=3,
+                    feats_per_cam=world.n_feats, n_levels=1)
+    # warmup pass: trigger every jit compile (tracking stages, triangulation,
+    # BA buckets) so the measured run reflects pipeline behavior, not XLA
+    warm = MultiColSLAM(world.rig, settings, cfg, use_loop_closing=True,
+                        async_mapping=True)
+    for t in range(min(40, n_frames)):
+        warm.track(feats=feats[t], timestamp=world.timestamps[t])
+    warm.wait_mapping_idle()
+    warm.shutdown()
+
+    slam = MultiColSLAM(world.rig, settings, cfg, use_loop_closing=True,
+                        async_mapping=True)
+    times = []
+    kf_frames = 0
+    for t in range(n_frames):
+        t0 = time.perf_counter()
+        m = slam.track(feats=feats[t], timestamp=world.timestamps[t])
+        times.append((time.perf_counter() - t0) * 1e3)
+        kf_frames += int(m.is_keyframe)
+    slam.wait_mapping_idle()
+    slam.shutdown()
+    # drop the first 10 frames: compile warmup, not pipeline behavior
+    arr = np.asarray(times[10:])
+    return {
+        "pipeline_p50_ms": round(float(np.percentile(arr, 50)), 2),
+        "pipeline_p95_ms": round(float(np.percentile(arr, 95)), 2),
+        "pipeline_worst_ms": round(float(arr.max()), 2),
+        "pipeline_kf_frames": kf_frames,
+    }
 
 
 if __name__ == "__main__":

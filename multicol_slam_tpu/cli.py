@@ -66,6 +66,9 @@ def main(argv=None):
     metrics_path = None
     profile_dir = None
     localization_only = False
+    async_mapping = True  # mapping/loop closing on a worker thread (the
+    #                       reference's thread layout); --sync-mapping for
+    #                       the deterministic sequential pipeline
     pos = []
     it = iter(argv)
     for a in it:
@@ -83,6 +86,10 @@ def main(argv=None):
             profile_dir = next(it)
         elif a == "--localization":
             localization_only = True
+        elif a == "--sync-mapping":
+            async_mapping = False
+        elif a == "--async-mapping":
+            async_mapping = True
         else:
             pos.append(a)
     if len(pos) != 4:
@@ -108,7 +115,7 @@ def main(argv=None):
             print(f"loaded vocabulary: {voc.n_words} words (k={voc.k}, L={voc.depth})")
         except Exception as e:  # self-trained fallback inside LoopCloser
             print(f"vocabulary load failed ({e}); loop closer will self-train")
-    slam = MultiColSLAM(rig, settings)
+    slam = MultiColSLAM(rig, settings, async_mapping=async_mapping)
     if load_map_path is not None:
         # checkpoint/resume (SURVEY.md §5): restart from a saved map and
         # relocalize into it — with --localization this is tracking-only
@@ -118,12 +125,16 @@ def main(argv=None):
         from multicol_slam_tpu.slam.system import LOST
 
         slam.store = load_map(load_map_path)
-        slam.mapper = LocalMapper(slam.store, rig)
+        slam.mapper = LocalMapper(slam.store, rig, use_masks=slam.use_masks,
+                                  lock=slam.map_lock)
         if slam.loop_closer is not None:
             from multicol_slam_tpu.slam.loop_closing import LoopCloser
 
-            slam.loop_closer = LoopCloser(slam.store, rig)
+            slam.loop_closer = LoopCloser(slam.store, rig, use_masks=slam.use_masks)
         slam.state = LOST
+        # a resumed map must survive failed first-frame relocalizations: the
+        # LOST auto-reset (<=3 KFs) would silently wipe a small loaded map
+        slam.map_resumed = True
         print(f"resumed map: {int(slam.store.kf_valid.sum())} keyframes, "
               f"{int(slam.store.pt_valid.sum())} points")
     if localization_only:
@@ -163,7 +174,11 @@ def main(argv=None):
 
         jax.profiler.stop_trace()
         print(f"profiler trace written to {profile_dir}")
+    slam.wait_mapping_idle()
     slam.shutdown()
+    times_arr = np.asarray(times) * 1e3
+    print(f"p95 tracking time:    {np.percentile(times_arr, 95):.2f} ms | "
+          f"worst: {times_arr.max():.2f} ms")
     out = "MKFTrajectoryLAFIDA.txt"
     slam.save_trajectory(out)
     if metrics_path is not None:

@@ -26,6 +26,8 @@ _ARRAY_FIELDS = [
 
 
 def save_map(path: str, store: MapStore) -> None:
+    from multicol_slam_tpu.slam.features import DESC_PIPELINE_VERSION
+
     meta = dict(
         config=dataclasses.asdict(store.cfg),
         n_kf=store.n_kf,
@@ -33,6 +35,7 @@ def save_map(path: str, store: MapStore) -> None:
         free_pt=store._free_pt,
         free_kf=store._free_kf,
         loop_edges=store.loop_edges,
+        desc_version=DESC_PIPELINE_VERSION,
     )
     arrays = {f: getattr(store, f) for f in _ARRAY_FIELDS}
 
@@ -59,4 +62,17 @@ def load_map(path: str) -> MapStore:
     store._free_pt = [int(x) for x in meta["free_pt"]]
     store._free_kf = [int(x) for x in meta["free_kf"]]
     store.loop_edges = [tuple(e) for e in meta["loop_edges"]]
+    store.recount_obs()
+    from multicol_slam_tpu.slam.features import DESC_PIPELINE_VERSION
+
+    saved_v = int(meta.get("desc_version", 1))
+    if saved_v != DESC_PIPELINE_VERSION:
+        import warnings
+
+        warnings.warn(
+            f"map checkpoint was saved with descriptor-pipeline v{saved_v}, "
+            f"current extractor is v{DESC_PIPELINE_VERSION}: descriptors in "
+            "the map will not match freshly extracted ones bit-for-bit; "
+            "relocalization against this map may be degraded"
+        )
     return store

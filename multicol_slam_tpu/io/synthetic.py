@@ -56,11 +56,25 @@ class SyntheticWorld:
     n_feats: int
     noise_px: float
     seed: int
+    # visibility range: landmarks farther than this from the camera are not
+    # observed (25 = the reference's distance gate; smaller values create
+    # genuine loop structure where places leave view and reappear)
+    max_vis_dist: float = 25.0
+    # Optional odometric-drift injection: drifts[t] is a 4x4 SE3 D(t) applied
+    # rigidly to BOTH the pose and the landmarks when synthesizing frame t.
+    # Each frame stays perfectly self-consistent (projection is invariant
+    # under a rigid world transform), but D(t) grows with t, so a tracker
+    # building its map incrementally accumulates exactly the locally-
+    # consistent / globally-inconsistent error of real odometric drift —
+    # the precondition for a meaningful loop-closure correction test.
+    drifts: Optional[np.ndarray] = None   # [T, 4, 4] or None
 
     def frame_features(self, t: int) -> FrameFeatures:
+        world_T = None if self.drifts is None else self.drifts[t]
         return synthesize_features(
             self.rig, self.points, self.descs, self.poses[t], self.n_feats,
-            noise_px=self.noise_px, seed=self.seed * 100003 + t,
+            noise_px=self.noise_px, seed=self.seed * 100003 + t, world_T=world_T,
+            max_vis_dist=self.max_vis_dist,
         )
 
 
@@ -73,29 +87,69 @@ def make_world(
     trajectory: str = "circle",
     radius: float = 4.0,
     seed: int = 0,
+    period: Optional[int] = None,
+    drift_rate: float = 0.0,
+    max_vis_dist: float = 25.0,
+    landmarks: str = "ring",
 ) -> SyntheticWorld:
+    """`period`: frames per lap for circular trajectories (defaults to
+    n_frames = exactly one lap; smaller values revisit the start).
+    `drift_rate`: per-frame odometric drift magnitude — D(t) is a smooth SE3
+    with yaw ~ drift_rate*t rad and translation ~ drift_rate*t*radius,
+    injected rigidly per frame (see SyntheticWorld.drifts)."""
     rng = np.random.default_rng(seed)
     rig = make_synthetic_rig(n_cams)
-    # landmarks in a ring around the trajectory (visible from everywhere)
     ang = rng.uniform(0, 2 * np.pi, n_points)
-    rad = rng.uniform(radius + 2.0, radius + 8.0, n_points)
-    z = rng.uniform(-3.0, 3.0, n_points)
-    points = np.stack([rad * np.cos(ang), rad * np.sin(ang), z], -1).astype(np.float32)
+    if landmarks == "path":
+        # landmarks hugging the circular PATH (center (-radius, 0)): combined
+        # with a short max_vis_dist, each frame sees only a local arc — places
+        # leave view and reappear, the precondition for loop-closure tests
+        rr = radius + rng.uniform(1.0, 3.0, n_points)
+        z = rng.uniform(-1.0, 1.0, n_points)
+        points = np.stack(
+            [-radius + rr * np.cos(ang), rr * np.sin(ang), z], -1
+        ).astype(np.float32)
+    else:
+        # landmarks in a ring around the origin (visible from everywhere)
+        rad = rng.uniform(radius + 2.0, radius + 8.0, n_points)
+        z = rng.uniform(-3.0, 3.0, n_points)
+        points = np.stack([rad * np.cos(ang), rad * np.sin(ang), z], -1).astype(np.float32)
     descs = rng.integers(0, 256, size=(n_points, 32), dtype=np.uint8)
     poses = np.zeros((n_frames, 6), np.float32)
+    per = period or n_frames
     for t in range(n_frames):
         if trajectory == "circle":
-            th = 2.0 * np.pi * t / n_frames
+            th = 2.0 * np.pi * t / per
             poses[t, 3] = radius * np.cos(th) - radius
             poses[t, 4] = radius * np.sin(th)
             poses[t, 2] = np.tan(th / 2.0) if abs(th) < 3.0 else 0.0  # cayley yaw ~ tan(theta/2)
+        elif trajectory == "circle_noyaw":
+            # translate around the circle with fixed body orientation — no
+            # Cayley singularity at theta=pi, ideal for multi-lap loop tests
+            th = 2.0 * np.pi * t / per
+            poses[t, 3] = radius * np.cos(th) - radius
+            poses[t, 4] = radius * np.sin(th)
         elif trajectory == "line":
             poses[t, 3] = 0.05 * t
             poses[t, 0] = 0.001 * t
         else:
             raise ValueError(trajectory)
     timestamps = np.arange(n_frames) / 25.0
-    return SyntheticWorld(rig, points, descs, poses, timestamps, n_feats, noise_px, seed)
+    drifts = None
+    if drift_rate > 0.0:
+        drifts = np.zeros((n_frames, 4, 4))
+        for t in range(n_frames):
+            yaw = drift_rate * t
+            c, s = np.cos(yaw), np.sin(yaw)
+            D = np.eye(4)
+            D[:2, :2] = [[c, -s], [s, c]]
+            D[0, 3] = drift_rate * t * radius * 0.5
+            D[2, 3] = drift_rate * t * radius * 0.25
+            drifts[t] = D
+    return SyntheticWorld(
+        rig, points, descs, poses, timestamps, n_feats, noise_px, seed,
+        max_vis_dist, drifts,
+    )
 
 
 def synthesize_features(
@@ -107,13 +161,22 @@ def synthesize_features(
     noise_px: float = 0.3,
     desc_flip_bits: int = 2,
     seed: int = 0,
+    world_T: Optional[np.ndarray] = None,
+    max_vis_dist: float = 25.0,
 ) -> FrameFeatures:
     """Project landmarks into all cameras at the given body pose and emit a
-    padded FrameFeatures with noisy pixels + lightly-corrupted descriptors."""
+    padded FrameFeatures with noisy pixels + lightly-corrupted descriptors.
+    `world_T` (4x4) rigidly transforms both the pose and the landmarks —
+    projections are unchanged within the frame, but a tracker integrating
+    over frames with growing world_T accumulates odometric drift."""
     rng = np.random.default_rng(seed)
     C = rig.n_cams
     B = descs.shape[1]
     Mt = np.asarray(cayley_to_hom(jnp.asarray(pose6, jnp.float32)))
+    if world_T is not None:
+        Mt = np.asarray(world_T, np.float64) @ Mt
+        points = points @ np.asarray(world_T, np.float64)[:3, :3].T + world_T[:3, 3]
+        points = points.astype(np.float32)
     uv_list, ray_list, desc_list, valid_list = [], [], [], []
     from multicol_slam_tpu.models.camera import cam_img_to_world, cam_world_to_img
 
@@ -124,7 +187,7 @@ def synthesize_features(
         uv = np.asarray(cam_world_to_img(rig.cams, c, jnp.asarray(Xc, jnp.float32)))
         ok = Xc[:, 2] > 0
         ok &= np.asarray(in_mirror_mask(rig.cams, c, jnp.asarray(uv, jnp.float32)))
-        ok &= np.linalg.norm(Xc, axis=-1) < 25.0
+        ok &= np.linalg.norm(Xc, axis=-1) < max_vis_dist
         idx = np.nonzero(ok)[0]
         rng.shuffle(idx)
         idx = idx[:n_feats]

@@ -246,44 +246,47 @@ def load_dbow2_yaml(path: str) -> Vocabulary:
     cur: Dict[str, object] = {}
     section = None
 
-    def flush():
-        nonlocal cur
-        if "nodeId" in cur:
+    entry_re = re.compile(r'(\w+):\s*("[^"]*"|[^,}]+)')
+
+    def parse_entry(text: str):
+        cur: Dict[str, str] = {}
+        for m in entry_re.finditer(text):
+            cur[m.group(1)] = m.group(2).strip().strip('"')
+        if "descriptor" in cur or ("nodeId" in cur and "parentId" in cur):
             nodes[int(cur["nodeId"])] = (
                 int(cur.get("parentId", -1)),
                 float(cur.get("weight", 0.0)),
-                np.asarray([int(x) for x in str(cur.get("descriptor", "")).split()], np.uint8),
+                np.asarray([int(x) for x in cur.get("descriptor", "").split()], np.uint8),
             )
         elif "wordId" in cur:
-            words[int(cur["wordId"])] = int(cur["nodeId_w"])
-        cur = {}
+            words[int(cur["wordId"])] = int(cur["nodeId"])
 
+    # OpenCV YAML wraps entries across lines (`- { ...,\n  descriptor:"..." }`
+    # — the real small_orb_omni_voc_9_6.yml does this for every node), so
+    # accumulate from each `- {` until the closing `}` before parsing.
     with open(path) as f:
+        entry: Optional[str] = None
         for line in f:
-            line = line.strip()
-            if line.startswith("k:"):
-                k = int(line.split(":")[1])
-            elif line.startswith("L:"):
-                depth = int(line.split(":")[1])
-            elif line.startswith("nodes:"):
+            ls = line.strip()
+            if entry is not None:
+                entry += " " + ls
+                if "}" in ls:
+                    parse_entry(entry)
+                    entry = None
+                continue
+            if ls.startswith("k:"):
+                k = int(ls.split(":")[1])
+            elif ls.startswith("L:"):
+                depth = int(ls.split(":")[1])
+            elif ls.startswith("nodes:"):
                 section = "nodes"
-            elif line.startswith("words:"):
-                flush()
+            elif ls.startswith("words:"):
                 section = "words"
-            elif line.startswith("- {") or line.startswith("-"):
-                flush()
-                for m in re.finditer(r"(\w+):\s*([^,}]+)", line):
-                    key, val = m.group(1), m.group(2).strip().strip('"')
-                    if section == "words" and key == "nodeId":
-                        key = "nodeId_w"
-                    cur[key] = val
-            elif ":" in line and cur:
-                key, val = line.split(":", 1)
-                key = key.strip()
-                if section == "words" and key == "nodeId":
-                    key = "nodeId_w"
-                cur[key] = val.strip().strip('"')
-    flush()
+            elif ls.startswith("- {"):
+                if "}" in ls:
+                    parse_entry(ls)
+                else:
+                    entry = ls
     n = max(nodes) + 2 if nodes else 1
     B = len(next(iter(nodes.values()))[2]) if nodes else 32
     node_desc = np.zeros((n, B), np.uint8)

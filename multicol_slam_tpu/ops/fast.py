@@ -124,11 +124,16 @@ def select_topk_grid(
     C, H, W = score.shape
     if cell is None:
         cell = 32
-        while cell > 4 and (H // cell) * (W // cell) < 2 * k_total:
+        # only ~pi/4 of the cells lie inside the fisheye mirror circle (the
+        # rest are fully invalid) — size the grid on USABLE cells, and keep
+        # >=2 winners per cell, or clustered corners in low-texture scenes
+        # deliver far fewer than k_total even when enough corners exist
+        usable = 0.785
+        while cell > 4 and (H // cell) * (W // cell) * usable < 2 * k_total:
             cell //= 2
     if k_per_cell is None:
         n_cells = max((H // cell) * (W // cell), 1)
-        k_per_cell = max(1, -(-2 * k_total // n_cells))
+        k_per_cell = max(2, -(-2 * k_total // n_cells))
     s = jnp.where(valid, score, -jnp.inf)
     Hp = -(-H // cell) * cell
     Wp = -(-W // cell) * cell

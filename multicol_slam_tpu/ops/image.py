@@ -69,27 +69,10 @@ def box_filter(img: jnp.ndarray, size: int = 5) -> jnp.ndarray:
     return _conv2d_same(out, k[:, None])
 
 
-SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
-SOBEL_Y = SOBEL_X.T.copy()
-
-
-def harris_response(img: jnp.ndarray, block: int = 7, k: float = 0.04) -> jnp.ndarray:
-    """Harris corner response map R = det(M) - k*tr(M)^2 with a block x block
-    structure-tensor window, matching the reference's HarrisResponses scoring
-    choice (score_type 0, mdBRIEFextractorOct.cpp HarrisResponses uses 7x7
-    blocks and k=0.04). Computed densely — one fused conv chain on TPU instead
-    of per-keypoint loops."""
-    Ix = _conv2d_same(img, jnp.asarray(SOBEL_X))
-    Iy = _conv2d_same(img, jnp.asarray(SOBEL_Y))
-    box = jnp.ones((block, block), img.dtype)
-    Sxx = _conv2d_same(Ix * Ix, box)
-    Syy = _conv2d_same(Iy * Iy, box)
-    Sxy = _conv2d_same(Ix * Iy, box)
-    det = Sxx * Syy - Sxy * Sxy
-    tr = Sxx + Syy
-    # normalization mirrors the reference's 1/(4*7*255)^2-style scale factor
-    # only up to a constant — scores are used for *ranking*, constants cancel.
-    return det - k * tr * tr
+# NOTE: a dense Harris response map used to live here; deleted as dead code.
+# The reference's HarrisResponses is only reachable from the disabled
+# ComputeKeyPointsOld path (mdBRIEFextractorOct.cpp:1262-1263) — our live
+# scoring is the FAST corner score, like the reference's active path.
 
 
 def max_pool_3x3(score: jnp.ndarray) -> jnp.ndarray:

@@ -130,7 +130,10 @@ def rotation_consistency(
     bins = jnp.clip((frac * n_bins).astype(jnp.int32), 0, n_bins - 1)
     counts = jnp.zeros((n_bins,), jnp.int32).at[bins].add(ok.astype(jnp.int32))
     top = jax.lax.top_k(counts, keep_bins)[0]
-    thresh = top[-1]
+    # a kept bin must be in the top-`keep_bins` AND hold >=10% of the
+    # dominant bin's votes (ComputeThreeMaxima's 0.1*max1 cut — without it,
+    # lone-outlier bins survive whenever fewer than 3 bins are populated)
+    thresh = jnp.maximum(top[-1], (0.1 * top[0]).astype(counts.dtype))
     keep = counts[bins] >= jnp.maximum(thresh, 1)
     return ok & keep
 

@@ -144,7 +144,13 @@ def masked_best_match_pallas(
     octq = jnp.pad(oct_q.astype(jnp.float32)[:, None], ((0, Qp - Q), (0, 0)))
     if rad_q is None:
         rad_q = jnp.full((Q,), 1e9, jnp.float32)
-    radq = jnp.pad(rad_q.astype(jnp.float32)[:, None], ((0, Qp - Q), (0, 0)))
+    # padded query rows are DISABLED (rad -1), like padded targets: they are
+    # sliced off the outputs anyway, but must not claim targets in any
+    # per-target reduction either
+    radq = jnp.pad(
+        rad_q.astype(jnp.float32)[:, None], ((0, Qp - Q), (0, 0)),
+        constant_values=-1.0,
+    )
     uvt = jnp.pad(uv_t.astype(jnp.float32), ((0, Tp - T), (0, 0)))
     radt = jnp.pad(
         rad_t.astype(jnp.float32)[:, None], ((0, Tp - T), (0, 0)),
@@ -200,6 +206,8 @@ def masked_best_match_pallas_cams(
     rad_t: jnp.ndarray,    # [C, T]    f32 (<0 disables)
     lvl_t: jnp.ndarray,    # [C, T]    f32
     rad_q: jnp.ndarray = None,  # [C, Q] f32 (None -> unlimited)
+    mask_q: jnp.ndarray = None,  # [C, Q, B] u8 mdBRIEF stability masks
+    mask_t: jnp.ndarray = None,  # [C, T, B] u8 (or [T, B])
     level_tol: float = 1.0,
     tile_t: int = 512,
     interpret: bool = None,
@@ -208,9 +216,14 @@ def masked_best_match_pallas_cams(
     C sequential kernel launches — the camera axis is a grid dimension, per
     SURVEY.md §2.3 'batch over cameras inside every kernel'. Same semantics
     per camera as masked_best_match_pallas, plus a 4th output col_best [C, T]
-    = per-TARGET best masked distance over all queries of that camera (the
-    one-to-one duplicate-claim resolution, computed inside the kernel instead
-    of a serialized scatter-min on the host program)."""
+    = per-TARGET best masked distance over all queries of that camera.
+
+    When mask_q/mask_t are given, the distance is the mdBRIEF masked Hamming
+    (cORBmatcher.cpp:2457-2480): d = (popcount(x&mQ)+popcount(x&mT))/2 with
+    x = a xor b. On the MXU: popcount(x&m) = (|m| - (a*m).b)/2 for a,b in
+    {-1,+1}, m in {0,1}, so the kernel runs TWO dots per tile instead of one
+    (pre-multiplied +-1/0 descriptors as extra operands). Callers must scale
+    thresholds x0.5 (matching.th_high/th_low masked variants)."""
     if interpret is None:
         interpret = not _on_tpu()
     C, Q, B = desc_q.shape
@@ -218,18 +231,38 @@ def masked_best_match_pallas_cams(
     D = 8 * B
     Qp = _round_up(max(Q, 8), 8)
     Tp = _round_up(max(T, tile_t), tile_t)
+    masked = mask_q is not None and mask_t is not None
 
     a = unpack_pm1(desc_q.reshape(C * Q, B)).astype(jnp.bfloat16).reshape(C, Q, D)
     b = unpack_pm1(desc_t.reshape(-1, B)).astype(jnp.bfloat16).reshape(desc_t.shape[:-1] + (D,))
     if b.ndim == 2:
         b = jnp.broadcast_to(b[None], (C, T, D))
+    if masked:
+        w8 = jnp.asarray((1 << np.arange(8)).astype(np.uint8))
+        mq = ((mask_q.reshape(C * Q, B)[..., None] & w8) > 0).reshape(C, Q, D)
+        mt_shape = mask_t.shape[:-1] + (D,)
+        mt = ((mask_t.reshape(-1, B)[..., None] & w8) > 0).reshape(mt_shape)
+        if mt.ndim == 2:
+            mt = jnp.broadcast_to(mt[None], (C, T, D))
+        am = (a * mq).astype(jnp.bfloat16)
+        bm = (b * mt).astype(jnp.bfloat16)
+        sumq = jnp.sum(mq, axis=-1, dtype=jnp.float32)[..., None]      # [C, Q, 1]
+        sumt = jnp.sum(mt, axis=-1, dtype=jnp.float32)[..., None]      # [C, T, 1]
+        am = jnp.pad(am, ((0, 0), (0, Qp - Q), (0, 0)))
+        bm = jnp.pad(bm, ((0, 0), (0, Tp - T), (0, 0)))
+        sumq = jnp.pad(sumq, ((0, 0), (0, Qp - Q), (0, 0)))
+        sumt = jnp.pad(sumt, ((0, 0), (0, Tp - T), (0, 0)))
     a = jnp.pad(a, ((0, 0), (0, Qp - Q), (0, 0)))
     b = jnp.pad(b, ((0, 0), (0, Tp - T), (0, 0)))
     uvq = jnp.pad(uv_q.astype(jnp.float32), ((0, 0), (0, Qp - Q), (0, 0)))
     octq = jnp.pad(oct_q.astype(jnp.float32)[..., None], ((0, 0), (0, Qp - Q), (0, 0)))
     if rad_q is None:
         rad_q = jnp.full((C, Q), 1e9, jnp.float32)
-    radq = jnp.pad(rad_q.astype(jnp.float32)[..., None], ((0, 0), (0, Qp - Q), (0, 0)))
+    # padded query rows disabled (rad -1) so they cannot poison col_best
+    radq = jnp.pad(
+        rad_q.astype(jnp.float32)[..., None], ((0, 0), (0, Qp - Q), (0, 0)),
+        constant_values=-1.0,
+    )
     uvt = jnp.pad(uv_t.astype(jnp.float32), ((0, 0), (0, Tp - T), (0, 0)))
     radt = jnp.pad(
         rad_t.astype(jnp.float32)[..., None], ((0, 0), (0, Tp - T), (0, 0)),
@@ -238,31 +271,7 @@ def masked_best_match_pallas_cams(
     lvlt = jnp.pad(lvl_t.astype(jnp.float32)[..., None], ((0, 0), (0, Tp - T), (0, 0)))
     tol = jnp.asarray([[level_tol]], jnp.float32)
 
-    def kernel(a_ref, uvq_ref, octq_ref, radq_ref, b_ref, uvt_ref, radt_ref,
-               lvlt_ref, tol_ref, best_ref, second_ref, idx_ref, colb_ref):
-        # identical math to _match_kernel; blocks carry a leading camera dim
-        t = pl.program_id(1)
-        TT = b_ref.shape[1]
-        nbits = jnp.float32(a_ref.shape[-1])
-
-        @pl.when(t == 0)
-        def _():
-            best_ref[:] = jnp.full(best_ref.shape, BIG, jnp.float32)
-            second_ref[:] = jnp.full(second_ref.shape, BIG, jnp.float32)
-            idx_ref[:] = jnp.full(idx_ref.shape, -1, jnp.int32)
-
-        dot = jax.lax.dot_general(
-            a_ref[0], b_ref[0],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                # [Q, TT]
-        ham = 0.5 * (nbits - dot)
-        du = jnp.abs(uvq_ref[0, :, 0:1] - uvt_ref[0, :, 0][None, :])
-        dv = jnp.abs(uvq_ref[0, :, 1:2] - uvt_ref[0, :, 1][None, :])
-        rad = jnp.minimum(radq_ref[0, :, 0:1], radt_ref[0, :, 0][None, :])
-        dl = jnp.abs(octq_ref[0, :, 0:1] - lvlt_ref[0, :, 0][None, :])
-        mask = (du <= rad) & (dv <= rad) & (dl <= tol_ref[0, 0])
-        d = jnp.where(mask, ham, BIG)
+    def _merge(d, t, TT, best_ref, second_ref, idx_ref, colb_ref):
         t1 = jnp.min(d, axis=1, keepdims=True)
         cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
         is_min = d <= t1
@@ -279,21 +288,80 @@ def masked_best_match_pallas_cams(
         # per-target best over the query axis (each (c, t) tile written once)
         colb_ref[0] = jnp.min(d, axis=0, keepdims=True)
 
+    def _init(t, best_ref, second_ref, idx_ref):
+        @pl.when(t == 0)
+        def _():
+            best_ref[:] = jnp.full(best_ref.shape, BIG, jnp.float32)
+            second_ref[:] = jnp.full(second_ref.shape, BIG, jnp.float32)
+            idx_ref[:] = jnp.full(idx_ref.shape, -1, jnp.int32)
+
+    def _window(uvq_ref, octq_ref, radq_ref, uvt_ref, radt_ref, lvlt_ref, tol_ref):
+        du = jnp.abs(uvq_ref[0, :, 0:1] - uvt_ref[0, :, 0][None, :])
+        dv = jnp.abs(uvq_ref[0, :, 1:2] - uvt_ref[0, :, 1][None, :])
+        rad = jnp.minimum(radq_ref[0, :, 0:1], radt_ref[0, :, 0][None, :])
+        dl = jnp.abs(octq_ref[0, :, 0:1] - lvlt_ref[0, :, 0][None, :])
+        return (du <= rad) & (dv <= rad) & (dl <= tol_ref[0, 0])
+
+    def kernel(a_ref, uvq_ref, octq_ref, radq_ref, b_ref, uvt_ref, radt_ref,
+               lvlt_ref, tol_ref, best_ref, second_ref, idx_ref, colb_ref):
+        # identical math to _match_kernel; blocks carry a leading camera dim
+        t = pl.program_id(1)
+        TT = b_ref.shape[1]
+        nbits = jnp.float32(a_ref.shape[-1])
+        _init(t, best_ref, second_ref, idx_ref)
+        dot = jax.lax.dot_general(
+            a_ref[0], b_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # [Q, TT]
+        ham = 0.5 * (nbits - dot)
+        mask = _window(uvq_ref, octq_ref, radq_ref, uvt_ref, radt_ref, lvlt_ref, tol_ref)
+        d = jnp.where(mask, ham, BIG)
+        _merge(d, t, TT, best_ref, second_ref, idx_ref, colb_ref)
+
+    def kernel_masked(a_ref, am_ref, sumq_ref, uvq_ref, octq_ref, radq_ref,
+                      b_ref, bm_ref, sumt_ref, uvt_ref, radt_ref, lvlt_ref,
+                      tol_ref, best_ref, second_ref, idx_ref, colb_ref):
+        # mdBRIEF masked distance: two dots per tile
+        #   popcount(x & mQ) = (|mQ| - (a*mQ).b)/2 ; d = (pcQ + pcT)/2
+        t = pl.program_id(1)
+        TT = b_ref.shape[1]
+        _init(t, best_ref, second_ref, idx_ref)
+        dn = (((1,), (1,)), ((), ()))
+        dot1 = jax.lax.dot_general(am_ref[0], b_ref[0], dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
+        dot2 = jax.lax.dot_general(a_ref[0], bm_ref[0], dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
+        ham = 0.25 * (sumq_ref[0, :, 0:1] - dot1) + 0.25 * (
+            sumt_ref[0, :, 0][None, :] - dot2
+        )
+        mask = _window(uvq_ref, octq_ref, radq_ref, uvt_ref, radt_ref, lvlt_ref, tol_ref)
+        d = jnp.where(mask, ham, BIG)
+        _merge(d, t, TT, best_ref, second_ref, idx_ref, colb_ref)
+
     grid = (C, Tp // tile_t)
-    best, second, idx, col_best = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, Qp, D), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Qp, 2), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Qp, 1), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Qp, 1), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_t, D), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_t, 2), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_t, 1), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_t, 1), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM),
+    q_spec = lambda w: pl.BlockSpec((1, Qp, w), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM)
+    t_spec = lambda w: pl.BlockSpec((1, tile_t, w), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM)
+    if masked:
+        operands = (a, am, sumq, uvq, octq, radq, b, bm, sumt, uvt, radt, lvlt, tol)
+        in_specs = [
+            q_spec(D), q_spec(D), q_spec(1), q_spec(2), q_spec(1), q_spec(1),
+            t_spec(D), t_spec(D), t_spec(1), t_spec(2), t_spec(1), t_spec(1),
             pl.BlockSpec((1, 1), lambda c, t: (0, 0), memory_space=pltpu.SMEM),
-        ],
+        ]
+        body = kernel_masked
+    else:
+        operands = (a, uvq, octq, radq, b, uvt, radt, lvlt, tol)
+        in_specs = [
+            q_spec(D), q_spec(2), q_spec(1), q_spec(1),
+            t_spec(D), t_spec(2), t_spec(1), t_spec(1),
+            pl.BlockSpec((1, 1), lambda c, t: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        body = kernel
+    best, second, idx, col_best = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, Qp, 1), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Qp, 1), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM),
@@ -307,7 +375,7 @@ def masked_best_match_pallas_cams(
             jax.ShapeDtypeStruct((C, 1, Tp), jnp.float32),
         ],
         interpret=interpret,
-    )(a, uvq, octq, radq, b, uvt, radt, lvlt, tol)
+    )(*operands)
     best = best[:, :Q, 0]
     second = second[:, :Q, 0]
     idx = idx[:, :Q, 0]

@@ -227,8 +227,6 @@ def lm_solve(
         delta = jax.tree.map(lambda x: jnp.where(jnp.isfinite(x), x, 0.0), delta)
         new_params = jax.tree.map(lambda a, b: a + b, p, _mask_params(delta, free))
         new_cost = cost_of(new_params)
-        # predicted reduction ~ delta . (lam*D*delta + g)  (standard LM gain)
-        pred = _dot(delta, grad)
         actual = state.cost - new_cost
         accept = (new_cost < state.cost)
         gain = actual / jnp.maximum(jnp.abs(state.cost), 1e-12)

@@ -29,6 +29,14 @@ from multicol_slam_tpu.utils.config import ExtractorSettings
 
 EDGE_BORDER = 19  # EDGE_THRESHOLD-ish detection border (keypoint patch safety)
 
+# Version stamp of the descriptor pipeline, persisted in map checkpoints:
+# descriptors extracted under a different version are NOT bit-compatible
+# with a saved map (degraded relocalization on --load-map). Bump whenever
+# the extraction math changes observable descriptor bits.
+#   v1: IC angles from the raw pyramid level
+#   v2: IC angles + descriptors both from the blurred level (shared patches)
+DESC_PIPELINE_VERSION = 2
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass

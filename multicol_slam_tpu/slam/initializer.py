@@ -64,6 +64,7 @@ def bootstrap(
     window: float = 100.0,
     n_hyp: int = 256,
     err_th: float = 1e-4,
+    use_masks: bool = False,
 ):
     """Attempt two-view initialization between frames 1 (reference) and 2.
 
@@ -75,7 +76,13 @@ def bootstrap(
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     C, K = np.asarray(feats1.valid).shape
-    match_idx, _ = match_window_frames(feats1, feats2, radius=window, th_desc=64.0, ratio=0.9)
+    # rotation-histogram filter on (SearchForInitialization checkOrientation,
+    # cORBmatcher.cpp:579-680); masked TH_LOW when mdBRIEF masks are active
+    th = (1.0 if use_masks else 2.0) * np.asarray(feats1.desc).shape[-1]
+    match_idx, _ = match_window_frames(
+        feats1, feats2, radius=window, th_desc=float(th), ratio=0.9,
+        check_rotation=True, use_masks=use_masks,
+    )
     match_idx = np.asarray(match_idx)      # [C, K] index into frame2 (same cam)
     n_total = int((match_idx >= 0).sum())
     if n_total < MIN_MATCHES:

@@ -61,7 +61,7 @@ class TriangulationOut(NamedTuple):
     ok: jnp.ndarray       # [C*K] bool
 
 
-@functools.partial(jax.jit, static_argnames=("epi_th", "th_desc", "ratio"))
+@functools.partial(jax.jit, static_argnames=("epi_th", "th_desc", "ratio", "check_rotation", "use_masks"))
 def triangulate_pair(
     mc6: jnp.ndarray,
     pose1: jnp.ndarray,
@@ -72,11 +72,17 @@ def triangulate_pair(
     epi_th: float = 1e-2,
     th_desc: float = 64.0,
     ratio: float = 0.8,
+    ang1=None, ang2=None,          # [C,K] keypoint angles (rotation histogram)
+    dmask1=None, dmask2=None,      # [C,K,B] mdBRIEF stability masks
+    check_rotation: bool = False,
+    use_masks: bool = False,
 ) -> TriangulationOut:
     """Match unassigned same-camera features between two keyframes under the
     epipolar constraint and triangulate (SearchForTriangulationRaw,
     cORBmatcher.cpp:988-1090 + CreateNewMapPoints gates,
-    cLocalMapping.cpp:224-387). All cameras in one fused program."""
+    cLocalMapping.cpp:224-387). All cameras in one fused program.
+    check_rotation applies the reference's rotHist filter (:1070-1090);
+    use_masks switches to the mdBRIEF masked Hamming (pass x0.5 th_desc)."""
     C, K, B = desc1.shape
     Mt1 = cayley_to_hom(pose1)
     Mt2 = cayley_to_hom(pose2)
@@ -86,9 +92,14 @@ def triangulate_pair(
     rel = jnp.einsum("cij,cjk->cik", hom_inverse(MtMc1), MtMc2)  # maps cam2-frame -> cam1-frame
     E = essential_from_relative(hom_inverse(rel))                # r1^T? convention check in test
     # hamming [C, K1, K2]
-    a = unpack_pm1(desc1.reshape(C * K, B)).reshape(C, K, 8 * B)
-    b = unpack_pm1(desc2.reshape(C * K, B)).reshape(C, K, 8 * B)
-    ham = 0.5 * (8 * B - jnp.einsum("cqj,ckj->cqk", a, b, preferred_element_type=jnp.float32))
+    if use_masks and dmask1 is not None:
+        from multicol_slam_tpu.ops.matching import hamming_matrix_masked
+
+        ham = jax.vmap(hamming_matrix_masked)(desc1, dmask1, desc2, dmask2)
+    else:
+        a = unpack_pm1(desc1.reshape(C * K, B)).reshape(C, K, 8 * B)
+        b = unpack_pm1(desc2.reshape(C * K, B)).reshape(C, K, 8 * B)
+        ham = 0.5 * (8 * B - jnp.einsum("cqj,ckj->cqk", a, b, preferred_element_type=jnp.float32))
     # epipolar distance between rays through E (misc.cpp:54-70 ray-space test)
     epi = ray_epipolar_distance(
         rays1[:, :, None, :], E[:, None, None, :, :], rays2[:, None, :, :]
@@ -105,6 +116,12 @@ def triangulate_pair(
     idx1 = jnp.argmin(d, axis=1)
     mutual = jnp.take_along_axis(idx1, idx2, axis=1) == jnp.arange(K)[None, :]
     ok = ok & mutual
+    if check_rotation and ang1 is not None:
+        from multicol_slam_tpu.ops.matching import rotation_consistency
+
+        ang2_sel = jnp.take_along_axis(ang2, idx2, axis=1)
+        dangle = (ang1 - ang2_sel).reshape(C * K)
+        ok = rotation_consistency(dangle, ok.reshape(C * K)).reshape(C, K)
     # triangulate in world frame
     o1 = MtMc1[:, :3, 3][:, None, :]                              # [C,1,3]
     o2 = MtMc2[:, :3, 3][:, None, :]
@@ -138,15 +155,37 @@ def triangulate_pair(
     return TriangulationOut(X.reshape(-1, 3), feat1, feat2, ok.reshape(-1))
 
 
-class LocalMapper:
-    """Host orchestration of the local-mapping pipeline over a MapStore."""
+class _NullLock:
+    """No-op context manager: the sequential pipeline needs no locking."""
 
-    def __init__(self, store: MapStore, rig: MultiCamRig):
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+class LocalMapper:
+    """Host orchestration of the local-mapping pipeline over a MapStore.
+
+    `lock` (optional): when the mapper runs in a background thread
+    (MultiColSLAM async_mapping — the reference's thread 2,
+    cSystem.cpp:98), every store-mutating stage holds this lock while the
+    expensive device computations (local BA solve) run OUTSIDE it, so the
+    tracker's store reads interleave between stages instead of stalling for
+    the whole pipeline (the InterruptBA capability, cLocalMapping.cpp:515).
+    """
+
+    def __init__(self, store: MapStore, rig: MultiCamRig, use_masks: bool = False,
+                 lock=None):
         self.store = store
         self.rig = rig
         self.mc6 = jnp.asarray(np.asarray(rig.Mc_cayley, np.float32))
         self.intr = jnp.asarray(rig.cams.to_vector())
         self.recent_points: List[Tuple[int, int]] = []  # (pt_id, created_kf)
+        # mdBRIEF stability-mask matching (thresholds x0.5, cORBmatcher.cpp:46-65)
+        self.use_masks = use_masks
+        self.lock = lock if lock is not None else _NullLock()
 
     # ------------------------------------------------------------------
     def process_new_keyframe(self, k: int):
@@ -190,6 +229,9 @@ class LocalMapper:
         uv1 = jnp.asarray(s.kf_uv[k].reshape(C, K, 2))
         rays1 = jnp.asarray(s.kf_rays[k].reshape(C, K, 3))
         desc1 = jnp.asarray(s.kf_desc[k].reshape(C, K, -1))
+        ang1 = jnp.asarray(s.kf_angle[k].reshape(C, K))
+        dmask1 = jnp.asarray(s.kf_dmask[k].reshape(C, K, -1)) if self.use_masks else None
+        th = 0.5 * 2.0 * s.cfg.desc_bytes if self.use_masks else 2.0 * s.cfg.desc_bytes
         for j in neighbors:
             # baseline / median-depth gate (:255)
             b = np.linalg.norm(s.kf_pose[k][3:] - s.kf_pose[j][3:])
@@ -208,6 +250,13 @@ class LocalMapper:
                 jnp.asarray(s.kf_desc[j].reshape(C, K, -1)),
                 free2,
                 self.intr,
+                th_desc=th,
+                ang1=ang1,
+                ang2=jnp.asarray(s.kf_angle[j].reshape(C, K)),
+                dmask1=dmask1,
+                dmask2=jnp.asarray(s.kf_dmask[j].reshape(C, K, -1)) if self.use_masks else None,
+                check_rotation=True,
+                use_masks=self.use_masks,
             )
             ok = np.asarray(out.ok)
             X = np.asarray(out.X)
@@ -273,6 +322,8 @@ class LocalMapper:
             min_dist=jnp.asarray(np.pad(s.pt_min_dist[pts], (0, pad))),
             max_dist=jnp.asarray(np.pad(s.pt_max_dist[pts], (0, pad), constant_values=1.0)),
             valid=jnp.asarray(np.pad(np.ones(len(pts), bool), (0, pad))),
+            normal=jnp.asarray(np.pad(s.pt_normal[pts], ((0, pad), (0, 0)))),
+            dmask=jnp.asarray(np.pad(s.pt_dmask[pts], ((0, pad), (0, 0)))) if self.use_masks else None,
         )
         C, K = s.cfg.n_cams, s.cfg.feats_per_cam
         fused = 0
@@ -291,7 +342,8 @@ class LocalMapper:
                 valid=jnp.asarray(s.kf_feat_valid[j].reshape(C, K)),
             )
             assign, dist, keep = fuse_match(
-                self.mc6, self.intr, self.rig.cams, fj, jnp.asarray(s.kf_pose[j]), lp, radius
+                self.mc6, self.intr, self.rig.cams, fj, jnp.asarray(s.kf_pose[j]), lp, radius,
+                use_masks=self.use_masks,
             )
             assign = np.asarray(assign)
             keep = np.asarray(keep)
@@ -316,7 +368,18 @@ class LocalMapper:
     # ------------------------------------------------------------------
     def local_ba(self, k: int, max_iters: int = 20):
         """LocalBundleAdjustment (cOptimizer.cpp:489-909): free = covisible
-        neighborhood of k, anchors = other KFs observing the local points."""
+        neighborhood of k, anchors = other KFs observing the local points.
+        The problem gather and write-back hold the map lock; the LM solve —
+        the dominant cost — runs outside it so async tracking proceeds."""
+        with self.lock:
+            prob = self._gather_local_ba(k)
+        if prob is None:
+            return
+        out, obs, nK, nP, nO = self._solve_ba(prob, max_iters)
+        with self.lock:
+            self._writeback_ba(prob, out, obs, nK, nP, nO)
+
+    def _gather_local_ba(self, k: int):
         s = self.store
         local = [k] + s.best_covisible(k, 20)
         local_set = set(local)
@@ -337,9 +400,9 @@ class LocalMapper:
             oldest = min(j for j in local if j != k)
             local.remove(oldest)
             anchors.append(oldest)
-        prob = s.ba_problem(np.asarray(local), np.asarray(anchors, np.int64))
-        if prob is None:
-            return
+        return s.ba_problem(np.asarray(local), np.asarray(anchors, np.int64))
+
+    def _solve_ba(self, prob, max_iters: int):
         nK = len(prob["kf_ids"])
         nP = len(prob["pt_ids"])
         nO = len(prob["obs_kf"])
@@ -368,12 +431,20 @@ class LocalMapper:
             points=jnp.asarray(np.arange(pP) < nP),
         )
         out, _ = bundle_adjust_jit(params, obs, free, max_iters=max_iters, cg_iters=40)
-        # prune outlier observations from the map (chi2 pass, :798-860)
+        return out, obs, nK, nP, nO
+
+    def _writeback_ba(self, prob, out, obs, nK, nP, nO):
+        s = self.store
+        # prune outlier observations from the map (chi2 pass, :798-860);
+        # observations erased while the solve ran are BAD_ID now — erasing
+        # again is a harmless no-op (the same benign write-back race the
+        # reference tolerates, cMap.h:39)
         valid = np.asarray(prune_observations(out, obs))[:nO]
         bad = np.nonzero(~valid)[0]
         for i in bad:
             kf_g = int(prob["obs_kf_global"][i])
-            s.erase_observation(kf_g, int(prob["obs_feat"][i]))
+            if s.kf_point[kf_g, int(prob["obs_feat"][i])] >= 0:
+                s.erase_observation(kf_g, int(prob["obs_feat"][i]))
         s.write_back(prob, poses=np.asarray(out.poses)[:nK], points=np.asarray(out.points)[:nP])
 
     # ------------------------------------------------------------------
@@ -381,6 +452,8 @@ class LocalMapper:
         """KeyFrameCulling (cLocalMapping.cpp:520-597): a local KF is culled
         when >=90% of its points are seen >=KF_REDUNDANT_OBS times elsewhere
         at the same or finer scale."""
+        from multicol_slam_tpu import native
+
         s = self.store
         for j in s.best_covisible(k, 10):
             if j == 0 or not s.kf_valid[j]:
@@ -388,34 +461,41 @@ class LocalMapper:
             feats = np.nonzero(s.kf_point[j] >= 0)[0]
             if len(feats) < 20:
                 continue
-            redundant = 0
-            for f in feats:
-                p = s.kf_point[j, f]
-                if not s.pt_valid[p]:
-                    continue
-                level = s.kf_octave[j, f]
-                ks, fs = s.point_observers(int(p))
-                n_better = int(((ks != j) & (s.kf_octave[ks, fs] <= level + 1)).sum())
-                if n_better >= KF_REDUNDANT_OBS:
-                    redundant += 1
+            # one native/vectorized pass over the table per candidate KF
+            # (was a per-feature Python loop with a full scan per point)
+            n_better = native.redundancy_counts(s.kf_point, s.kf_octave, s.kf_valid, int(j))
+            ok = s.pt_valid[s.kf_point[j, feats]]
+            redundant = int(((n_better[feats] >= KF_REDUNDANT_OBS) & ok).sum())
             if redundant > KF_REDUNDANT_FRAC * len(feats):
                 s.erase_keyframe(j)
 
     # ------------------------------------------------------------------
     def run(self, k: int, do_ba: bool = True):
-        """One pass of the mapping pipeline for new keyframe k."""
-        self.process_new_keyframe(k)
-        self.cull_map_points(k)
-        n_new = self.create_new_points(k)
-        self.fuse_neighbors(k)
+        """One pass of the mapping pipeline for new keyframe k. Each stage
+        holds the map lock (released between stages and during the BA solve)
+        so an async tracker never waits for the whole pipeline."""
+        with self.lock:
+            if not self.store.kf_valid[k]:
+                return 0  # culled while queued
+            self.process_new_keyframe(k)
+            self.cull_map_points(k)
+        with self.lock:
+            n_new = self.create_new_points(k)
+        with self.lock:
+            self.fuse_neighbors(k)
         if do_ba and self.store.kf_valid.sum() >= 3:
             self.local_ba(k)
-        self.cull_keyframes(k)
+        with self.lock:
+            self.cull_keyframes(k)
         return n_new
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def fuse_match(mc6, intr, cams, feats, pose, pts, radius: float = 3.0):
+@functools.partial(jax.jit, static_argnames=("radius", "use_masks"))
+def fuse_match(mc6, intr, cams, feats, pose, pts, radius: float = 3.0, use_masks: bool = False):
     from multicol_slam_tpu.slam.tracking_kernels import project_and_match
 
-    return project_and_match(mc6, intr, cams, feats, pose, pts, radius=radius, th_desc=64.0)
+    # TH_LOW = 2*descBytes, x0.5 when masks are active (cORBmatcher.cpp:46-65)
+    th = (1.0 if use_masks else 2.0) * pts.desc.shape[-1]
+    return project_and_match(
+        mc6, intr, cams, feats, pose, pts, radius=radius, th_desc=th, use_masks=use_masks
+    )

@@ -1,21 +1,29 @@
 """Loop closing: detection, Sim3 estimation, correction, pose-graph opt.
 
 Capability map of the cLoopClosing thread (SURVEY.md §3.5,
-cLoopClosing.cpp:63-668), run synchronously after keyframe insertion:
+cLoopClosing.cpp:63-668), run after keyframe insertion:
 
   DetectLoop   : BoW query (models/vocab.py) excluding covisible KFs, skip
-                 <10 KFs since last loop, min-score from covisibility,
+                 <10 KFs since last loop (monotonic processed-KF counter —
+                 slot ids recycle), min-score from covisibility,
                  consistency-group chaining with threshold 3 (:115-259)
   ComputeSim3  : descriptor matching between map-pointed features (>=15) ->
-                 Horn Sim3 RANSAC in body frames (ops/ransac.horn_sim3,
-                 = cSim3Solver) -> optimize_sim3 (>=20 inliers) ->
-                 guided reprojection against the loop neighborhood (>=20
-                 total) (:261-461)
-  CorrectLoop  : propagate the corrected Sim3 through the current covisible
-                 group, re-map their points, fuse duplicates, run the
-                 essential-graph optimization, record the loop edge; NO
-                 global BA afterwards (deliberate, matching the reference's
-                 removal of ORB-SLAM2's post-loop GBA) (:464-668)
+                 Horn Sim3 RANSAC in body frames with per-observation
+                 reprojection scoring (ops/ransac.horn_sim3 + _sim3_reproj_\
+                 inliers, = cSim3Solver incl. :374-416) -> optimize_sim3
+                 (>=20 inliers) -> Sim3-guided reprojection of the loop
+                 neighborhood's map points into the current KF
+                 (SearchByProjection(Scw), cORBmatcher.cpp:2270-2440)
+                 requiring >=20 total matches (:444)
+  CorrectLoop  : snapshot all poses; propagate the corrected Sim3 through
+                 the current covisible group, re-map their points (once
+                 each), replace current-KF duplicates with their loop
+                 points, SearchAndFuse over the corrected group
+                 (cLoopClosing.cpp:670-745), run the essential-graph
+                 optimization with snapshot-measured chain/covisibility
+                 edges + corrected-measured loop edges, record the loop
+                 edge; NO global BA afterwards (deliberate, matching the
+                 reference's removal of ORB-SLAM2's post-loop GBA)
 
 Convention note (the 'inverse pose' gotcha, SURVEY.md §3.5): our stored pose
 M_t maps body->world; Sim3 vertices here are S_bw (world->body), so
@@ -39,14 +47,17 @@ from multicol_slam_tpu.models.vocab import (
     build_vocabulary,
     transform_words,
 )
-from multicol_slam_tpu.optim.ba import Sim3Edges, optimize_essential_graph, optimize_sim3
-from multicol_slam_tpu.ops.matching import hamming_matrix, masked_best_match, mutual_filter
-from multicol_slam_tpu.ops.ransac import horn_sim3, ransac_sim3
-from multicol_slam_tpu.slam.map_store import BAD_ID, MapStore
+from multicol_slam_tpu.optim.ba import Sim3Edges, Sim3Obs, optimize_essential_graph, optimize_sim3
+from multicol_slam_tpu.ops.matching import hamming_matrix
+from multicol_slam_tpu.ops.ransac import ransac_sim3
+from multicol_slam_tpu.slam.map_store import (
+    BAD_ID,
+    MapStore,
+    cayley_to_hom_np,
+    hom_inverse_np,
+    hom_to_cayley_np,
+)
 from multicol_slam_tpu.utils.geometry import (
-    cayley_to_hom,
-    hom_inverse,
-    hom_to_cayley,
     sim3_apply,
     sim3_compose,
     sim3_exp,
@@ -60,20 +71,44 @@ MIN_BOW_MATCHES = 15           # :299
 MIN_SIM3_INLIERS = 20          # :378
 MIN_TOTAL_MATCHES = 20         # :444
 COVIS_EDGE_MIN = 100           # essential-graph covisibility weight (:309)
+SIM3_REPROJ_CHI2 = 9.210       # cSim3Solver per-observation gate (:374-416)
+
+
+def _np_sim3_apply(R: np.ndarray, t: np.ndarray, s: float, X: np.ndarray) -> np.ndarray:
+    return (s * (X @ R.T) + t).astype(np.float32)
+
+
+def _np_sim3_inverse(R: np.ndarray, t: np.ndarray, s: float):
+    Ri = R.T
+    si = 1.0 / s
+    ti = -si * (Ri @ t)
+    return Ri, ti, si
+
+
+def _np_sim3_compose(Ra, ta, sa, Rb, tb, sb):
+    """(Ra,ta,sa) o (Rb,tb,sb): apply b first, then a."""
+    return Ra @ Rb, sa * (Ra @ tb) + ta, sa * sb
 
 
 class LoopCloser:
-    def __init__(self, store: MapStore, rig: MultiCamRig, voc: Optional[Vocabulary] = None):
+    def __init__(self, store: MapStore, rig: MultiCamRig, voc: Optional[Vocabulary] = None,
+                 use_masks: bool = False):
         self.store = store
         self.rig = rig
         self.voc = voc
+        self.use_masks = use_masks
         self.db: Optional[KeyFrameDatabase] = KeyFrameDatabase(voc) if voc else None
-        self.last_loop_kf = -MIN_KFS_BETWEEN_LOOPS
         self.consistency_groups: List[Tuple[Set[int], int]] = []
         self.mc6 = jnp.asarray(np.asarray(rig.Mc_cayley, np.float32))
         self.intr = jnp.asarray(rig.cams.to_vector())
         self.n_loops_closed = 0
         self._bootstrap_descs: List[np.ndarray] = []
+        # monotonic processed-keyframe counter for the <10-KFs-since-last-loop
+        # gate: KF slot ids are recycled by the free list so they are NOT
+        # monotonic on long runs — count processed keyframes instead.
+        self._n_processed = 0
+        self._last_loop_at = -MIN_KFS_BETWEEN_LOOPS
+        store.on_kf_erased.append(self.on_keyframe_erased)
 
     # ------------------------------------------------------------------
     def _ensure_vocab(self, k: int):
@@ -103,10 +138,17 @@ class LoopCloser:
         descs = s.kf_desc[k][s.kf_feat_valid[k]]
         return bow_vector(self.voc, transform_words(self.voc, descs))
 
+    def on_keyframe_erased(self, k: int):
+        """Keep the inverted file consistent with keyframe culling (the
+        reference calls mpKeyFrameDB->erase on SetBadFlag)."""
+        if self.db is not None:
+            self.db.erase(int(k))
+
     # ------------------------------------------------------------------
     def process(self, k: int) -> bool:
         """Full loop pipeline for new keyframe k. Returns True if a loop was
         closed (poses/points corrected in the MapStore)."""
+        self._n_processed += 1
         if not self._ensure_vocab(k):
             return False
         bow_k = self._kf_bow(k)
@@ -118,7 +160,7 @@ class LoopCloser:
             ok = self._try_close(k, cand)
             if ok:
                 self.n_loops_closed += 1
-                self.last_loop_kf = k
+                self._last_loop_at = self._n_processed
                 self.consistency_groups = []
                 return True
         return False
@@ -127,9 +169,15 @@ class LoopCloser:
     def _detect(self, k: int, bow_k) -> List[int]:
         """DetectLoop (cLoopClosing.cpp:115-259)."""
         s = self.store
-        if k - self.last_loop_kf < MIN_KFS_BETWEEN_LOOPS or s.kf_valid.sum() < MIN_KFS_BETWEEN_LOOPS:
+        if (
+            self._n_processed - self._last_loop_at < MIN_KFS_BETWEEN_LOOPS
+            or s.kf_valid.sum() < MIN_KFS_BETWEEN_LOOPS
+        ):
             return []
-        cov = s.covisibility(k)
+        # exclusion + minScore use CONNECTED keyframes (covisibility weight
+        # >= 15, the UpdateConnections edge threshold) — not every KF sharing
+        # a single point, which on high-overlap scenes is the whole map
+        cov = s.covisibility(k, min_weight=15)
         exclude = set(cov) | {k}
         # minScore: lowest BoW similarity to a covisible KF (:141-160)
         min_score = 1.0
@@ -160,8 +208,62 @@ class LoopCloser:
         return consistent
 
     # ------------------------------------------------------------------
+    def _loop_neighborhood_points(self, cand: int) -> np.ndarray:
+        """Map points of the loop KF and its covisible group (the reference's
+        mvpLoopMapPoints, cLoopClosing.cpp:~430)."""
+        s = self.store
+        group = list(s.covisibility(cand, min_weight=15)) + [cand]
+        pts = s.kf_point[np.asarray(group, np.int64)]
+        pts = np.unique(pts[pts >= 0])
+        return pts[s.pt_valid[pts]] if len(pts) else pts
+
+    def _project_loop_points(self, k: int, pose6_corr: np.ndarray, pts: np.ndarray,
+                             radius: float = 10.0, th_desc: float = 64.0):
+        """SearchByProjection(Scw) capability (cORBmatcher.cpp:2270-2440):
+        project loop-neighborhood map points into KF k's features from the
+        Sim3-corrected pose. Returns assign [F] -> index into pts (or -1)."""
+        from multicol_slam_tpu.slam.features import FrameFeatures
+        from multicol_slam_tpu.slam.local_mapping import _bucket
+        from multicol_slam_tpu.slam.tracking_kernels import LocalPoints, project_and_match
+
+        s = self.store
+        C, K = s.cfg.n_cams, s.cfg.feats_per_cam
+        L = _bucket(len(pts), 256)
+        pad = L - len(pts)
+        lp = LocalPoints(
+            X=jnp.asarray(np.pad(s.pt_X[pts], ((0, pad), (0, 0)))),
+            desc=jnp.asarray(np.pad(s.pt_desc[pts], ((0, pad), (0, 0)))),
+            min_dist=jnp.asarray(np.pad(s.pt_min_dist[pts], (0, pad))),
+            max_dist=jnp.asarray(np.pad(s.pt_max_dist[pts], (0, pad), constant_values=1.0)),
+            valid=jnp.asarray(np.pad(np.ones(len(pts), bool), (0, pad))),
+        )
+        fk = FrameFeatures(
+            uv=jnp.asarray(s.kf_uv[k].reshape(C, K, 2)),
+            response=jnp.zeros((C, K)),
+            octave=jnp.asarray(s.kf_octave[k].reshape(C, K)),
+            angle=jnp.asarray(s.kf_angle[k].reshape(C, K)),
+            rays=jnp.asarray(s.kf_rays[k].reshape(C, K, 3)),
+            desc=jnp.asarray(s.kf_desc[k].reshape(C, K, -1)),
+            dmask=jnp.asarray(s.kf_dmask[k].reshape(C, K, -1)),
+            valid=jnp.asarray(s.kf_feat_valid[k].reshape(C, K)),
+        )
+        from multicol_slam_tpu.slam.local_mapping import fuse_match
+
+        assign, dist, keep = fuse_match(
+            self.mc6, self.intr, self.rig.cams, fk,
+            jnp.asarray(pose6_corr, jnp.float32), lp, radius,
+        )
+        assign = np.asarray(assign)
+        keep = np.asarray(keep) & (np.asarray(dist) <= th_desc)
+        out = np.full(s.cfg.feats_per_kf, -1, np.int64)
+        out[keep] = assign[keep]
+        out[out >= len(pts)] = -1  # padded slots
+        return out
+
+    # ------------------------------------------------------------------
     def _try_close(self, k: int, cand: int) -> bool:
-        """ComputeSim3 + CorrectLoop for one candidate."""
+        """ComputeSim3 (cLoopClosing.cpp:261-461) + CorrectLoop for one
+        candidate."""
         s = self.store
         # --- match map-pointed features between the two KFs (SearchByBoW
         # capability via dense Hamming — 1.2k x 1.2k is one MXU tile) -------
@@ -169,173 +271,309 @@ class LoopCloser:
         fc = np.nonzero(s.kf_point[cand] >= 0)[0]
         if len(fk) < MIN_BOW_MATCHES or len(fc) < MIN_BOW_MATCHES:
             return False
-        d = np.asarray(hamming_matrix(jnp.asarray(s.kf_desc[k][fk]), jnp.asarray(s.kf_desc[cand][fc])))
+        if self.use_masks:
+            from multicol_slam_tpu.ops.matching import hamming_matrix_masked
+
+            d = np.asarray(hamming_matrix_masked(
+                jnp.asarray(s.kf_desc[k][fk]), jnp.asarray(s.kf_dmask[k][fk]),
+                jnp.asarray(s.kf_desc[cand][fc]), jnp.asarray(s.kf_dmask[cand][fc]),
+            ))
+            th = 1.0 * s.cfg.desc_bytes
+        else:
+            d = np.asarray(hamming_matrix(jnp.asarray(s.kf_desc[k][fk]), jnp.asarray(s.kf_desc[cand][fc])))
+            th = 2.0 * s.cfg.desc_bytes
         best = d.argmin(1)
         bestd = d.min(1)
         # mutual + threshold
         back = d.argmin(0)
         mutual = back[best] == np.arange(len(fk))
-        okm = mutual & (bestd <= 64)
+        okm = mutual & (bestd <= th)
         if okm.sum() < MIN_BOW_MATCHES:
             return False
         pk = s.kf_point[k][fk[okm]]
         pc = s.kf_point[cand][fc[best[okm]]]
         # positions in each body frame (cSim3Solver operates in body frames)
-        Tk = np.asarray(cayley_to_hom(jnp.asarray(s.kf_pose[k])))      # body->world
-        Tc = np.asarray(cayley_to_hom(jnp.asarray(s.kf_pose[cand])))
+        Tk = cayley_to_hom_np(s.kf_pose[k])      # body->world
+        Tc = cayley_to_hom_np(s.kf_pose[cand])
         Xw_k = s.pt_X[pk]
         Xw_c = s.pt_X[pc]
-        Xb_k = (Xw_k - Tk[:3, 3]) @ Tk[:3, :3]
-        Xb_c = (Xw_c - Tc[:3, 3]) @ Tc[:3, :3]
+        Xb_k = ((Xw_k - Tk[:3, 3]) @ Tk[:3, :3]).astype(np.float32)
+        Xb_c = ((Xw_c - Tc[:3, 3]) @ Tc[:3, :3]).astype(np.float32)
         # --- Horn Sim3 RANSAC: S_kc maps cand-body -> current-body ---------
+        # Inlier test = symmetric reprojection through each correspondence's
+        # observing camera (cSim3Solver::CheckInliers, cSim3Solver.cpp:
+        # 374-416), NOT a 3-D distance: a bad hypothesis can fit 3-D point
+        # clouds loosely yet never reproject both ways within chi2.
         P = jnp.asarray(Xb_c, jnp.float32)
         Q = jnp.asarray(Xb_k, jnp.float32)
-
-        def err_fn(R, t, sc):
-            pred = sc[:, None, None] * jnp.einsum("sij,nj->sni", R, P) + t[:, None, :]
-            return jnp.linalg.norm(pred - Q[None], axis=-1) < 0.1 * jnp.median(
-                jnp.linalg.norm(Q, axis=-1)
-            )
-
-        res = ransac_sim3(
-            jax.random.PRNGKey(k), P, Q, jnp.ones(len(P), bool), err_fn, n_hyp=300
-        )
-        if int(res.n_inliers) < MIN_SIM3_INLIERS:
-            return False
-        # --- refine with reprojection GN (optimize_sim3) -------------------
-        from multicol_slam_tpu.optim.ba import Sim3Obs
-
         cam_k = (fk[okm] // s.cfg.feats_per_cam).astype(np.int32)
         cam_c = (fc[best[okm]] // s.cfg.feats_per_cam).astype(np.int32)
+        uv_k = jnp.asarray(s.kf_uv[k][fk[okm]])
+        uv_c = jnp.asarray(s.kf_uv[cand][fc[best[okm]]])
+        cam_kj = jnp.asarray(cam_k)
+        cam_cj = jnp.asarray(cam_c)
+
+        def err_fn(R, t, sc):
+            from multicol_slam_tpu.optim.ba import _project_body
+
+            def one(Rh, th, sh):
+                X2in1 = sh * jnp.einsum("ij,nj->ni", Rh, P) + th
+                Ri, ti, si = sim3_inverse(Rh, th, sh)
+                X1in2 = si * jnp.einsum("ij,nj->ni", Ri, Q) + ti
+                uv1p, z1 = _project_body(self.mc6, self.intr, cam_kj, X2in1)
+                uv2p, z2 = _project_body(self.mc6, self.intr, cam_cj, X1in2)
+                e1 = jnp.sum((uv1p - uv_k) ** 2, -1)
+                e2 = jnp.sum((uv2p - uv_c) ** 2, -1)
+                return (z1 > 0) & (z2 > 0) & (e1 < SIM3_REPROJ_CHI2) & (e2 < SIM3_REPROJ_CHI2)
+
+            return jax.vmap(one)(R, t, sc)
+
+        # with_scale=False / fix_scale=True: the multi-camera rig is METRIC
+        # (known extrinsics baseline; initializer.calibrate_metric_scale pins
+        # the map gauge), so the loop transform is rigid — estimating a free
+        # 7th dof only injects scale noise that the essential graph then
+        # smears over every pose. The reference keeps the mono-inherited
+        # 7-dof solver (cSim3Solver); the 7-dof path remains available via
+        # these flags and is exercised by tests/test_optimizer.py.
+        res = ransac_sim3(
+            jax.random.PRNGKey(int(s.kf_frame_id[k])), P, Q, jnp.ones(len(P), bool),
+            err_fn, n_hyp=300, with_scale=False,
+        )
+        if int(res.n_inliers) < MIN_SIM3_INLIERS // 2:
+            return False
+        # --- refine with reprojection GN (optimize_sim3) -------------------
         sobs = Sim3Obs(
             X1=Q, X2=P,
-            uv1=jnp.asarray(s.kf_uv[k][fk[okm]]),
-            uv2=jnp.asarray(s.kf_uv[cand][fc[best[okm]]]),
-            cam1=jnp.asarray(cam_k),
-            cam2=jnp.asarray(cam_c),
+            uv1=uv_k, uv2=uv_c,
+            cam1=cam_kj, cam2=cam_cj,
             inv_sigma2_1=jnp.ones(len(P)),
             inv_sigma2_2=jnp.ones(len(P)),
             valid=res.inliers,
         )
         v0 = sim3_log(res.R, res.t, res.s)
-        v7, inl, n_inl = optimize_sim3(v0, sobs, self.mc6, self.intr, n_iters=12)
+        v7, inl, n_inl = optimize_sim3(v0, sobs, self.mc6, self.intr, n_iters=12,
+                                       fix_scale=True)
         if int(n_inl) < MIN_SIM3_INLIERS:
             return False
-        self._correct(k, cand, np.asarray(v7))
+        v7 = np.asarray(v7)
+        # --- Sim3-guided match expansion (SearchBySim3 + SearchByProjection
+        # (Scw) capability): project the loop neighborhood's points into the
+        # current KF from the corrected pose; require >=20 total matches ----
+        R, t, sc = (np.asarray(a) for a in sim3_exp(jnp.asarray(v7, jnp.float32)))
+        Tc_bw = hom_inverse_np(cayley_to_hom_np(s.kf_pose[cand]))
+        Rkw, tkw, skw = _np_sim3_compose(R, t, float(sc), Tc_bw[:3, :3], Tc_bw[:3, 3], 1.0)
+        Tbw_corr = np.eye(4)
+        Tbw_corr[:3, :3] = Rkw
+        Tbw_corr[:3, 3] = tkw / skw
+        pose_corr = hom_to_cayley_np(hom_inverse_np(Tbw_corr))
+        loop_pts = self._loop_neighborhood_points(cand)
+        if len(loop_pts) == 0:
+            return False
+        assign = self._project_loop_points(k, pose_corr, loop_pts)
+        # total matches = features of k matched to a loop point, via either
+        # the Sim3 inlier set or the guided projection (reference counts
+        # mvpCurrentMatchedPoints entries, cLoopClosing.cpp:431-448)
+        matched_feats = set(np.nonzero(assign >= 0)[0].tolist())
+        inl_np = np.asarray(inl)
+        matched_feats.update(int(f) for f in fk[okm][inl_np])
+        if len(matched_feats) < MIN_TOTAL_MATCHES:
+            return False
+        # feature -> loop point map for duplicate replacement in _correct
+        loop_match: Dict[int, int] = {
+            int(f): int(loop_pts[assign[f]]) for f in np.nonzero(assign >= 0)[0]
+        }
+        # the BoW-matched pairs map k's feature to cand's point directly
+        for f, p2, good in zip(fk[okm], pc, inl_np):
+            if good:
+                loop_match[int(f)] = int(p2)
+        self._correct(k, cand, v7, loop_match, loop_pts)
         s.loop_edges.append((k, cand))
         return True
 
     # ------------------------------------------------------------------
-    def _correct(self, k: int, cand: int, v7_kc: np.ndarray):
+    def _correct(self, k: int, cand: int, v7_kc: np.ndarray,
+                 loop_match: Dict[int, int], loop_pts: np.ndarray):
         """CorrectLoop (cLoopClosing.cpp:464-668): S_kc maps cand-body points
         into current-body. Corrected world->body of current:
         S_bw(k)_corr = S_kc o T_bw(cand)."""
         s = self.store
-        R, t, sc = sim3_exp(jnp.asarray(v7_kc, jnp.float32))
-        Tc_wb = np.asarray(cayley_to_hom(jnp.asarray(s.kf_pose[cand])))  # body->world
-        Tc_bw = np.linalg.inv(Tc_wb)
+        # ---- snapshot ALL poses BEFORE any mutation: the essential graph's
+        # chain/covisibility measurements must come from the pre-correction
+        # state (NonCorrectedSim3, cLoopClosing.cpp:497-520) ----------------
+        snapshot: Dict[int, np.ndarray] = {
+            int(j): hom_inverse_np(cayley_to_hom_np(s.kf_pose[j]))  # T_bw
+            for j in s.active_kfs()
+        }
+        R, t, sc = (np.asarray(a, np.float64) for a in sim3_exp(jnp.asarray(v7_kc, jnp.float32)))
+        sc = float(sc)
+        Tc_bw = snapshot[cand]
         # S_kw_corr = S_kc o T_cand_bw  (world -> current body, with scale)
-        Rc = jnp.asarray(Tc_bw[:3, :3], jnp.float32)
-        tc = jnp.asarray(Tc_bw[:3, 3], jnp.float32)
-        s1 = jnp.asarray(1.0)
-        Rkw, tkw, skw = sim3_compose(R, t, sc, Rc, tc, s1)
-        # old world->body of current
-        Tk_wb_old = np.asarray(cayley_to_hom(jnp.asarray(s.kf_pose[k])))
-        Tk_bw_old = np.linalg.inv(Tk_wb_old)
+        Rkw, tkw, skw = _np_sim3_compose(R, t, sc, Tc_bw[:3, :3], Tc_bw[:3, 3], 1.0)
+        Tk_bw_old = snapshot[k]
         # --- propagate through the covisible group (:497-560) --------------
         group = list(s.covisibility(k, min_weight=15)) + [k]
+        group = [j for j in group if j != cand]
         corrected: Dict[int, Tuple[np.ndarray, np.ndarray, float]] = {}
+        remapped: Set[int] = set()
+        # which group KF remapped each point (mnCorrectedByKF/-Reference,
+        # cLoopClosing.cpp:520-545): the essential-graph point remap must
+        # anchor these points to their CORRECTOR's vertex (whose init pose is
+        # the corrected one the point is now consistent with), not to a
+        # pt_first_kf outside the group
+        remap_ref: Dict[int, int] = {}
         for j in group:
-            Tj_bw_old = np.linalg.inv(np.asarray(cayley_to_hom(jnp.asarray(s.kf_pose[j]))))
+            Tj_bw_old = snapshot[int(j)]
             # T_jk = T_j_bw_old o inv(T_k_bw_old): current-body -> j-body
             Tjk = Tj_bw_old @ np.linalg.inv(Tk_bw_old)
-            Rj, tj, sj = sim3_compose(
-                jnp.asarray(Tjk[:3, :3], jnp.float32), jnp.asarray(Tjk[:3, 3], jnp.float32),
-                jnp.asarray(1.0), Rkw, tkw, skw,
-            )
-            corrected[j] = (np.asarray(Rj), np.asarray(tj), float(sj))
+            Rj, tj, sj = _np_sim3_compose(Tjk[:3, :3], Tjk[:3, 3], 1.0, Rkw, tkw, skw)
+            corrected[int(j)] = (Rj, tj, sj)
             # write back SE3 pose: M_t = inv([R, t/s])
             Tbw = np.eye(4)
-            Tbw[:3, :3] = np.asarray(Rj)
-            Tbw[:3, 3] = np.asarray(tj) / float(sj)
-            s.kf_pose[j] = np.asarray(hom_to_cayley(jnp.asarray(np.linalg.inv(Tbw), jnp.float32)))
-            # re-map this KF's points: X_new = S_jw_corr^-1 ( S_jw_old X_old )
+            Tbw[:3, :3] = Rj
+            Tbw[:3, 3] = tj / sj
+            s.kf_pose[j] = hom_to_cayley_np(np.linalg.inv(Tbw))
+            # re-map this KF's points ONCE: X_new = S_jw_corr^-1 (T_jw_old X)
             pts = s.kf_point[j]
             pts = np.unique(pts[pts >= 0])
+            pts = np.asarray([p for p in pts if p not in remapped], np.int64)
             if len(pts) == 0:
                 continue
+            remapped.update(int(p) for p in pts)
+            for p in pts:
+                remap_ref[int(p)] = int(j)
             Xb_old = s.pt_X[pts] @ Tj_bw_old[:3, :3].T + Tj_bw_old[:3, 3]
-            Ri_, ti_, si_ = sim3_inverse(
-                jnp.asarray(corrected[j][0]), jnp.asarray(corrected[j][1]), jnp.asarray(corrected[j][2])
-            )
-            X_new = np.asarray(sim3_apply(Ri_, ti_, si_, jnp.asarray(Xb_old, jnp.float32)))
-            s.pt_X[pts] = X_new
-            s.update_point_stats_many(pts)
+            Ri_, ti_, si_ = _np_sim3_inverse(Rj, tj, sj)
+            s.pt_X[pts] = _np_sim3_apply(Ri_, ti_, si_, Xb_old)
+        # --- replace current-KF duplicates with their loop points (:636-660):
+        # where a loop point matched a feature that already has a (new,
+        # drift-built) point, the loop point wins ---------------------------
+        for f, p_loop in loop_match.items():
+            if not s.pt_valid[p_loop]:
+                continue
+            existing = int(s.kf_point[k, f])
+            if existing == p_loop:
+                continue
+            if existing >= 0 and s.pt_valid[existing]:
+                s.replace_point(existing, p_loop)
+            else:
+                s.add_observation(k, int(f), p_loop)
+        # --- SearchAndFuse (cLoopClosing.cpp:670-745): project the loop
+        # points into every corrected-group KF and fuse duplicates — the
+        # map deduplication that welds the two ends of the loop together ----
+        self._search_and_fuse(corrected, loop_pts)
+        s.update_point_stats_many(np.asarray(sorted(remapped), np.int64))
         # --- essential-graph optimization over all keyframes ---------------
-        self._essential_graph(k, cand, corrected)
+        self._essential_graph(k, cand, corrected, snapshot, remap_ref)
 
-    def _essential_graph(self, k: int, cand: int, corrected):
+    # ------------------------------------------------------------------
+    def _search_and_fuse(self, corrected: Dict[int, Tuple], loop_pts: np.ndarray):
+        """Project loop-neighborhood points into each corrected KF and fuse:
+        existing conflicting points are REPLACED by the loop point (the
+        reference's SearchAndFuse uses Fuse with replace-toward-loop
+        semantics, cLoopClosing.cpp:670-745)."""
         s = self.store
-        kfs = s.active_kfs()
-        idx = {int(j): i for i, j in enumerate(kfs)}
+        loop_pts = loop_pts[s.pt_valid[loop_pts]]
+        if len(loop_pts) == 0:
+            return
+        touched: List[int] = []
+        for j in corrected:
+            if not s.kf_valid[j]:
+                continue
+            assign = self._project_loop_points(j, s.kf_pose[j], loop_pts, radius=6.0)
+            for f in np.nonzero(assign >= 0)[0]:
+                p_loop = int(loop_pts[assign[f]])
+                if not s.pt_valid[p_loop]:
+                    continue
+                existing = int(s.kf_point[j, f])
+                if existing == p_loop:
+                    continue
+                if existing >= 0 and s.pt_valid[existing]:
+                    s.replace_point(existing, p_loop)
+                else:
+                    s.add_observation(j, int(f), p_loop)
+                touched.append(p_loop)
+        if touched:
+            s.update_point_stats_many(np.asarray(touched))
+
+    # ------------------------------------------------------------------
+    def _essential_graph(self, k: int, cand: int, corrected: Dict[int, Tuple],
+                         snapshot: Dict[int, np.ndarray],
+                         remap_ref: Optional[Dict[int, int]] = None):
+        """OptimizeEssentialGraph (cOptimizerLoopStuff.cpp:273-520): vertices
+        initialized from the corrected Sim3s (group) / snapshot (others);
+        chain + covisibility edges measured from the PRE-correction snapshot,
+        loop edges measured from the corrected estimates — so the residual at
+        the group boundary is exactly the loop correction, and GN distributes
+        it over the whole graph."""
+        s = self.store
+        kfs = [int(j) for j in s.active_kfs()]
+        idx = {j: i for i, j in enumerate(kfs)}
         K = len(kfs)
+        if K < 3:
+            return
         v = np.zeros((K, 7), np.float32)
         for j in kfs:
-            i = idx[int(j)]
-            if int(j) in corrected:
-                Rj, tj, sj = corrected[int(j)]
-                v[i] = np.asarray(
-                    sim3_log(jnp.asarray(Rj), jnp.asarray(tj), jnp.asarray(sj, jnp.float32))
-                )
+            i = idx[j]
+            if j in corrected:
+                Rj, tj, sj = corrected[j]
+                v[i] = np.asarray(sim3_log(
+                    jnp.asarray(Rj, jnp.float32), jnp.asarray(tj, jnp.float32),
+                    jnp.asarray(sj, jnp.float32)))
             else:
-                Tbw = np.linalg.inv(np.asarray(cayley_to_hom(jnp.asarray(s.kf_pose[j]))))
-                v[i] = np.asarray(
-                    sim3_log(
-                        jnp.asarray(Tbw[:3, :3], jnp.float32),
-                        jnp.asarray(Tbw[:3, 3], jnp.float32),
-                        jnp.asarray(1.0, jnp.float32),
-                    )
-                )
-        # edges: sequential chain (spanning-tree stand-in) + strong
-        # covisibility (>=100 shared) + recorded loop edges; measurements
-        # from PRE-correction relative poses except the loop edge itself.
-        pre = {}
-        for j in kfs:
-            Tbw = np.linalg.inv(np.asarray(cayley_to_hom(jnp.asarray(s.kf_pose[j]))))
-            if int(j) in corrected:
-                # pre-correction pose is gone; recompute below from stored old?
-                pass
-            pre[int(j)] = Tbw
-        ei, ej, meas = [], [], []
+                Tbw = snapshot[j]
+                v[i] = np.asarray(sim3_log(
+                    jnp.asarray(Tbw[:3, :3], jnp.float32),
+                    jnp.asarray(Tbw[:3, 3], jnp.float32),
+                    jnp.asarray(1.0, jnp.float32)))
+        # keep the vertex-init poses: they are the "old" poses for the final
+        # point remap (reference keeps vScw before optimization, :480-520)
+        v_init = v.copy()
+        ei, ej, meas, wts = [], [], [], []
 
-        def add_edge(a, b, Sa=None, Sb=None):
-            # measurement S_ba = S_b o S_a^-1 from (possibly corrected) states
-            va = jnp.asarray(v[idx[a]]) if Sa is None else Sa
-            vb = jnp.asarray(v[idx[b]]) if Sb is None else Sb
-            Ra, ta, sa = sim3_exp(va)
-            Rb, tb, sb = sim3_exp(vb)
-            Rm, tm, sm = sim3_compose(Rb, tb, sb, *sim3_inverse(Ra, ta, sa))
+        def _snap_sim3(j):
+            Tbw = snapshot[j]
+            return Tbw[:3, :3], Tbw[:3, 3], 1.0
+
+        def _curr_sim3(j):
+            if j in corrected:
+                return corrected[j]
+            return _snap_sim3(j)
+
+        def add_edge(a: int, b: int, from_snapshot: bool, weight: float = 1.0):
+            get = _snap_sim3 if from_snapshot else _curr_sim3
+            Ra, ta, sa = get(a)
+            Rb, tb, sb = get(b)
+            # measurement S_ba = S_b o S_a^-1
+            Rm, tm, sm = _np_sim3_compose(Rb, tb, sb, *_np_sim3_inverse(Ra, ta, sa))
             ei.append(idx[a])
             ej.append(idx[b])
-            meas.append(np.asarray(sim3_log(Rm, tm, sm)))
+            meas.append(np.asarray(sim3_log(
+                jnp.asarray(Rm, jnp.float32), jnp.asarray(tm, jnp.float32),
+                jnp.asarray(sm, jnp.float32))))
+            wts.append(weight)
 
-        ordered = sorted(int(j) for j in kfs)
+        # chain in TIME order (kf_frame_id is monotonic; slot ids are not).
+        # Uniform edge weights, like the reference: a 1/time-gap information
+        # model was tried and measurably WORSENED raw trajectory error — the
+        # estimated trajectory's error profile is shaped by local BA, not by
+        # per-frame odometry variance, so uniform per-edge distribution wins.
+        ordered = sorted(kfs, key=lambda j: int(s.kf_frame_id[j]))
         for a, b in zip(ordered[:-1], ordered[1:]):
-            add_edge(a, b)
+            add_edge(a, b, from_snapshot=True)
         cov_done = set()
         for a in ordered:
             for b, w in s.covisibility(a).items():
                 if w >= COVIS_EDGE_MIN and (b, a) not in cov_done and b in idx:
-                    add_edge(a, b)
+                    add_edge(a, b, from_snapshot=True)
                     cov_done.add((a, b))
         for (a, b) in s.loop_edges + [(k, cand)]:
             if a in idx and b in idx:
-                add_edge(a, b)
+                add_edge(a, b, from_snapshot=False, weight=5.0)
         edges = Sim3Edges(
             jnp.asarray(ei, jnp.int32),
             jnp.asarray(ej, jnp.int32),
             jnp.asarray(np.stack(meas), jnp.float32),
-            jnp.ones(len(ei), jnp.float32),
+            jnp.asarray(wts, jnp.float32),
             jnp.ones(len(ei), bool),
         )
         fixed = np.zeros(K, bool)
@@ -344,24 +582,40 @@ class LoopCloser:
             optimize_essential_graph(jnp.asarray(v), edges, jnp.asarray(fixed), n_iters=15)
         )
         # recover SE3 poses + remap points via each point's first KF (:480-520)
-        old_bw = {int(j): pre[int(j)] for j in kfs}
-        new_bw = {}
+        old_bw: Dict[int, np.ndarray] = {}
+        new_sim3: Dict[int, Tuple[np.ndarray, np.ndarray, float]] = {}
         for j in kfs:
-            i = idx[int(j)]
-            Rj, tj, sj = sim3_exp(jnp.asarray(v_out[i]))
+            i = idx[j]
+            Ro, to, so = (np.asarray(a, np.float64) for a in sim3_exp(jnp.asarray(v_init[i])))
+            Told = np.eye(4)
+            Told[:3, :3] = Ro
+            Told[:3, 3] = to / float(so)
+            old_bw[j] = Told
+            Rn, tn, sn = (np.asarray(a, np.float64) for a in sim3_exp(jnp.asarray(v_out[i])))
+            new_sim3[j] = (Rn, tn, float(sn))
             Tbw = np.eye(4)
-            Tbw[:3, :3] = np.asarray(Rj)
-            Tbw[:3, 3] = np.asarray(tj) / float(sj)
-            new_bw[int(j)] = (np.asarray(Rj), np.asarray(tj), float(sj), Tbw)
-            s.kf_pose[j] = np.asarray(hom_to_cayley(jnp.asarray(np.linalg.inv(Tbw), jnp.float32)))
-        for p in s.active_points():
-            ref = int(s.pt_first_kf[p])
-            if ref not in new_bw:
+            Tbw[:3, :3] = Rn
+            Tbw[:3, 3] = tn / float(sn)
+            s.kf_pose[j] = hom_to_cayley_np(np.linalg.inv(Tbw))
+        # batch the point remap by reference keyframe (one numpy pass per KF
+        # instead of one device call per point)
+        pts = s.active_points()
+        if len(pts) == 0:
+            return
+        refs = s.pt_first_kf[pts].copy()
+        if remap_ref:
+            rr = np.asarray(list(remap_ref.items()), np.int64)   # [M, 2]
+            pos = np.searchsorted(pts, rr[:, 0])
+            pos = np.clip(pos, 0, len(pts) - 1)
+            ok = pts[pos] == rr[:, 0]
+            refs[pos[ok]] = rr[ok, 1]
+        for j in np.unique(refs):
+            j = int(j)
+            if j not in new_sim3:
                 continue
-            Told = old_bw.get(ref)
-            Rn, tn, sn, _ = new_bw[ref]
-            Xb = s.pt_X[p] @ Told[:3, :3].T + Told[:3, 3]
-            Ri_, ti_, si_ = sim3_inverse(
-                jnp.asarray(Rn, jnp.float32), jnp.asarray(tn, jnp.float32), jnp.asarray(sn, jnp.float32)
-            )
-            s.pt_X[p] = np.asarray(sim3_apply(Ri_, ti_, si_, jnp.asarray(Xb, jnp.float32)))
+            sel = pts[refs == j]
+            Told = old_bw[j]
+            Rn, tn, sn = new_sim3[j]
+            Xb = s.pt_X[sel] @ Told[:3, :3].T + Told[:3, 3]
+            Ri_, ti_, si_ = _np_sim3_inverse(Rn, tn, sn)
+            s.pt_X[sel] = _np_sim3_apply(Ri_, ti_, si_, Xb)

@@ -132,6 +132,11 @@ class MapStore:
         self.pt_visible = np.zeros(P, np.int32)   # mnVisible
         self.pt_found = np.zeros(P, np.int32)     # mnFound
         self.pt_created_kfid = np.zeros(P, np.int32)
+        # incremental observation counts: pt_nobs[p] == (kf_point == p).sum()
+        # at all times (every kf_point mutation goes through the methods
+        # below) — point_n_obs becomes O(1) instead of a K x F table scan per
+        # call, the host bookkeeping scaling fix for large maps
+        self.pt_nobs = np.zeros(P, np.int32)
         self.n_kf = 0
         self.n_pt_alloc = 0
         self._free_pt: List[int] = []
@@ -139,6 +144,9 @@ class MapStore:
         # loop edges: pairs of KF ids (cMultiKeyFrame loop edges)
         self.loop_edges: List[Tuple[int, int]] = []
         self.scale_factors = cfg.scale_factor ** np.arange(cfg.n_levels)
+        # observers notified when a keyframe is culled (e.g. the loop
+        # closer's BoW inverted file — mpKeyFrameDB->erase in the reference)
+        self.on_kf_erased: List = []
 
     # ------------------------------------------------------------------ kfs
     def add_keyframe(self, pose6, feats, timestamp: float, frame_id: int) -> int:
@@ -170,14 +178,31 @@ class MapStore:
         """SetBadFlag equivalent: detach all observations, free the slot
         (cMultiKeyFrame.cpp:583-660; spanning-tree reparenting is implicit —
         covisibility is recomputed from the table)."""
-        pts = np.unique(self.kf_point[k][self.kf_point[k] >= 0])
+        row = self.kf_point[k]
+        obs = row[row >= 0]
+        pts = np.unique(obs)
+        np.subtract.at(self.pt_nobs, obs, 1)
         self.kf_valid[k] = False
         self.kf_point[k] = BAD_ID
         self.kf_feat_valid[k] = False
         self._free_kf.append(k)
+        for cb in self.on_kf_erased:
+            cb(int(k))
         for p in pts:
             if self.pt_valid[p] and self.point_n_obs(p) < 2:
                 self.erase_point(p)
+        # re-home orphaned reference keyframes: pt_first_kf anchors the
+        # loop-closing point remap, and this slot id will be RECYCLED by the
+        # free list — a stale reference would remap points via an unrelated
+        # future keyframe
+        live = pts[self.pt_valid[pts]]
+        orphans = live[self.pt_first_kf[live] == k]
+        if len(orphans):
+            ks2, fs2 = np.nonzero(np.isin(self.kf_point, orphans))
+            vals = self.kf_point[ks2, fs2]
+            for p in orphans:
+                owners = ks2[vals == p]
+                self.pt_first_kf[p] = int(owners[0]) if len(owners) else BAD_ID
 
     def feat_cam(self, f):
         """flat feature index -> camera index (keypoint_to_cam equivalent)."""
@@ -203,12 +228,14 @@ class MapStore:
         self.pt_visible[p] = 1
         self.pt_found[p] = 1
         self.pt_created_kfid[p] = first_kf
+        self.pt_nobs[p] = 0
         return p
 
     def erase_point(self, p: int):
         self.pt_valid[p] = False
         mask = self.kf_point == p
         self.kf_point[mask] = BAD_ID
+        self.pt_nobs[p] = 0
         self._free_pt.append(p)
 
     def replace_point(self, old: int, new: int):
@@ -218,21 +245,41 @@ class MapStore:
         for k, f in zip(ks, fs):
             if not (self.kf_point[k] == new).any():
                 self.kf_point[k, f] = new
+                self.pt_nobs[new] += 1
             else:
                 self.kf_point[k, f] = BAD_ID
+        self.pt_nobs[old] = 0
         self.pt_found[new] += self.pt_found[old]
         self.pt_visible[new] += self.pt_visible[old]
         self.pt_valid[old] = False
         self._free_pt.append(old)
 
     def add_observation(self, k: int, f: int, p: int):
+        old = self.kf_point[k, f]
+        if old >= 0:
+            self.pt_nobs[old] -= 1
         self.kf_point[k, f] = p
+        self.pt_nobs[p] += 1
 
     def erase_observation(self, k: int, f: int):
+        old = self.kf_point[k, f]
+        if old >= 0:
+            self.pt_nobs[old] -= 1
         self.kf_point[k, f] = BAD_ID
 
     def point_n_obs(self, p: int) -> int:
-        return int((self.kf_point == p).sum())
+        """O(1): maintained incrementally (was a full K x F scan)."""
+        return int(self.pt_nobs[p])
+
+    def point_n_obs_many(self, ps: np.ndarray) -> np.ndarray:
+        return self.pt_nobs[np.asarray(ps, np.int64)]
+
+    def recount_obs(self):
+        """Rebuild pt_nobs from the table (checkpoint load / debugging)."""
+        flat = self.kf_point[self.kf_point >= 0]
+        self.pt_nobs[:] = 0
+        if len(flat):
+            np.add.at(self.pt_nobs, flat, 1)
 
     def point_observers(self, p: int):
         ks, fs = np.nonzero(self.kf_point == p)

@@ -74,6 +74,7 @@ class MultiColSLAM:
         map_cfg: Optional[MapConfig] = None,
         use_loop_closing: bool = True,
         seed: int = 0,
+        async_mapping: bool = False,
     ):
         self.rig = rig
         self.settings = settings
@@ -85,13 +86,34 @@ class MultiColSLAM:
             scale_factor=settings.extractor.scale_factor,
             desc_bytes=settings.extractor.desc_size,
         )
+        # mdBRIEF stability-mask matching: active when the extractor learns
+        # masks; every live matcher then uses the masked Hamming distance
+        # with x0.5 thresholds (cORBmatcher.cpp:46-65, 2457-2480)
+        self.use_masks = bool(settings.extractor.use_mdbrief and settings.extractor.learn_masks)
+        th_scale = 0.5 if self.use_masks else 1.0
+        self.th_track = 3.0 * self.map_cfg.desc_bytes * th_scale   # TH_HIGH
+        self.th_low = 2.0 * self.map_cfg.desc_bytes * th_scale     # TH_LOW
+        # Async mapping (the reference's thread 2+3, cSystem.cpp:98,102):
+        # keyframes are queued to a background worker running local mapping +
+        # loop closing; the tracker holds `map_lock` only for its short store
+        # reads/writes, so keyframe frames no longer pay the full
+        # local-BA + loop-detection latency inline.
+        self.async_mapping = async_mapping
+        if async_mapping:
+            import threading
+
+            self.map_lock = threading.Lock()
+        else:
+            from multicol_slam_tpu.slam.local_mapping import _NullLock
+
+            self.map_lock = _NullLock()
         self.store = MapStore(self.map_cfg)
-        self.mapper = LocalMapper(self.store, rig)
+        self.mapper = LocalMapper(self.store, rig, use_masks=self.use_masks, lock=self.map_lock)
         self.loop_closer = None
         if use_loop_closing:
             from multicol_slam_tpu.slam.loop_closing import LoopCloser
 
-            self.loop_closer = LoopCloser(self.store, rig)
+            self.loop_closer = LoopCloser(self.store, rig, use_masks=self.use_masks)
         self.mc6 = jnp.asarray(np.asarray(rig.Mc_cayley, np.float32))
         self.intr = jnp.asarray(rig.cams.to_vector())
         self.key = jax.random.PRNGKey(seed)
@@ -111,6 +133,18 @@ class MultiColSLAM:
         self._stage2_cap = 4096
         self.localization_only = False
         self._force_reloc = False
+        self._kf_queue = None
+        self._worker = None
+        if async_mapping:
+            import queue
+            import threading
+
+            self._kf_queue = queue.Queue()
+            self._worker = threading.Thread(target=self._mapping_worker, daemon=True)
+            self._worker.start()
+        # set by checkpoint resume (--load-map): disables the small-map
+        # auto-reset so a failed relocalization never wipes the loaded map
+        self.map_resumed = False
 
     # ------------------------------------------------------------------
     def track(self, images=None, feats: Optional[FrameFeatures] = None, timestamp: float = 0.0) -> FrameMetrics:
@@ -144,7 +178,7 @@ class MultiColSLAM:
     # ------------------------------------------------------------------
     def _try_initialize(self, feats, timestamp):
         self.key, sub = jax.random.split(self.key)
-        res, n_matches = bootstrap(self.rig, self.ref_feats, feats, key=sub)
+        res, n_matches = bootstrap(self.rig, self.ref_feats, feats, key=sub, use_masks=self.use_masks)
         if res is None:
             # geometry not ready (baseline too small): KEEP the reference so
             # parallax accumulates; only re-snapshot when overlap collapses
@@ -209,6 +243,10 @@ class MultiColSLAM:
 
     # ------------------------------------------------------------------
     def _gather_points(self, pt_ids: np.ndarray, cap: int) -> LocalPoints:
+        with self.map_lock:
+            return self._gather_points_locked(pt_ids, cap)
+
+    def _gather_points_locked(self, pt_ids: np.ndarray, cap: int) -> LocalPoints:
         s = self.store
         n = min(len(pt_ids), cap)
         pt_ids = pt_ids[:n]
@@ -219,6 +257,9 @@ class MultiColSLAM:
             min_dist=jnp.asarray(np.pad(s.pt_min_dist[pt_ids], (0, pad))),
             max_dist=jnp.asarray(np.pad(s.pt_max_dist[pt_ids], (0, pad), constant_values=1.0)),
             valid=jnp.asarray(np.pad(np.ones(n, bool), (0, pad))),
+            normal=jnp.asarray(np.pad(s.pt_normal[pt_ids], ((0, pad), (0, 0)))),
+            dmask=jnp.asarray(np.pad(s.pt_dmask[pt_ids], ((0, pad), (0, 0))))
+            if self.use_masks else None,
         ), pt_ids
 
     def _track_frame(self, feats, timestamp, m: FrameMetrics):
@@ -249,7 +290,7 @@ class MultiColSLAM:
             out = track_stage(
                 self.mc6, self.intr, self.rig.cams, feats,
                 jnp.asarray(pose_pred, jnp.float32), lp,
-                scale_factor=sf, n_levels=nl, radius=15.0, th_desc=96.0,
+                scale_factor=sf, n_levels=nl, radius=15.0, th_desc=self.th_track, use_masks=self.use_masks,
             )
             if int(out.n_inliers) >= MIN_POSE_INLIERS:
                 pose1 = np.asarray(out.pose)
@@ -260,7 +301,7 @@ class MultiColSLAM:
                 out = track_stage(
                     self.mc6, self.intr, self.rig.cams, feats,
                     jnp.asarray(self.last_pose, jnp.float32), lp,
-                    scale_factor=sf, n_levels=nl, radius=50.0, th_desc=96.0,
+                    scale_factor=sf, n_levels=nl, radius=50.0, th_desc=self.th_track, use_masks=self.use_masks,
                 )
                 if int(out.n_inliers) >= MIN_POSE_INLIERS:
                     pose1 = np.asarray(out.pose)
@@ -274,7 +315,7 @@ class MultiColSLAM:
             out2 = track_stage(
                 self.mc6, self.intr, self.rig.cams, feats,
                 jnp.asarray(pose1, jnp.float32), lp2,
-                scale_factor=sf, n_levels=nl, radius=4.0, th_desc=96.0,
+                scale_factor=sf, n_levels=nl, radius=4.0, th_desc=self.th_track, use_masks=self.use_masks,
             )
             n_inl = int(out2.n_inliers)
             if n_inl >= MIN_TRACK_INLIERS:
@@ -284,8 +325,9 @@ class MultiColSLAM:
                 matched = (assign >= 0) & inl
                 assign_global[matched] = pt_ids2[assign[matched]]
                 # visibility bookkeeping (mnVisible/mnFound)
-                s.pt_visible[pt_ids2] += 1
-                s.pt_found[np.unique(assign_global[assign_global >= 0])] += 1
+                with self.map_lock:
+                    s.pt_visible[pt_ids2] += 1
+                    s.pt_found[np.unique(assign_global[assign_global >= 0])] += 1
                 m.n_matches = int(out2.n_matches)
                 m.n_inliers = n_inl
                 self.state = WORKING
@@ -297,9 +339,10 @@ class MultiColSLAM:
         else:
             self.state = LOST
         self.last_assign_global = assign_global
-        # ---- lost handling (auto-reset early, cTracking.cpp:322-329) ------
+        # ---- lost handling (auto-reset early, cTracking.cpp:322-329);
+        # resumed/frozen maps are never auto-wiped — keep retrying reloc ----
         if self.state == LOST:
-            if s.kf_valid.sum() <= 3:
+            if s.kf_valid.sum() <= 3 and not (self.map_resumed or self.localization_only):
                 self.reset()
             elif self._relocalize(feats, m):
                 self.state = WORKING
@@ -313,7 +356,10 @@ class MultiColSLAM:
         c1a = self.frames_since_kf >= self.settings.max_frames
         c1b = self.frames_since_kf >= self.settings.min_frames
         c2 = (n_inl < KF_REF_RATIO * max(self.ref_kf_tracked, 1)) and n_inl > KF_MIN_INLIERS
-        if (c1a and n_inl >= MIN_TRACK_INLIERS) or (c1b and c2):
+        # backpressure: with async mapping, don't pile keyframes onto a busy
+        # worker (the reference's SetAcceptKeyFrames gate, cLocalMapping)
+        mapper_busy = self._kf_queue is not None and self._kf_queue.qsize() >= 3
+        if ((c1a and n_inl >= MIN_TRACK_INLIERS) or (c1b and c2)) and not mapper_busy:
             self._create_keyframe(feats, timestamp, assign_global)
             m.is_keyframe = True
 
@@ -327,6 +373,10 @@ class MultiColSLAM:
         """UpdateReferenceKeyFrames + local points (cTracking.cpp:961-1130):
         KFs observing the currently tracked points (vote), plus their best
         covisible neighbors; local map = all their points."""
+        with self.map_lock:
+            return self._local_map_points_locked(seed_pts)
+
+    def _local_map_points_locked(self, seed_pts: np.ndarray) -> np.ndarray:
         s = self.store
         if len(seed_pts) == 0:
             ks = s.active_kfs()[-5:]
@@ -348,20 +398,57 @@ class MultiColSLAM:
 
     def _create_keyframe(self, feats, timestamp, assign_global):
         s = self.store
-        k = s.add_keyframe(self.last_pose, feats, timestamp, self.frame_id)
-        for f in np.nonzero(assign_global >= 0)[0]:
-            s.add_observation(k, int(f), int(assign_global[f]))
+        with self.map_lock:
+            k = s.add_keyframe(self.last_pose, feats, timestamp, self.frame_id)
+            for f in np.nonzero(assign_global >= 0)[0]:
+                s.add_observation(k, int(f), int(assign_global[f]))
+            self.last_assign_global = s.kf_point[k].copy()
+            self.last_kf_id = k
+            self.frames_since_kf = 0
+            self.ref_kf_tracked = int((s.kf_point[k] >= 0).sum())
+        if self.async_mapping:
+            # hand off to the mapping worker (InsertMultiKeyFrame,
+            # cLocalMapping.cpp:131-137); refined poses/points flow back to
+            # tracking through the shared store on later frames
+            self._kf_queue.put(k)
+            return
         self.mapper.run(k)
         # pose may have been adjusted by local BA
         self.last_pose = s.kf_pose[k].copy()
         self.last_assign_global = s.kf_point[k].copy()
-        self.last_kf_id = k
-        self.frames_since_kf = 0
-        self.ref_kf_tracked = int((s.kf_point[k] >= 0).sum())
         if self.loop_closer is not None:
             closed = self.loop_closer.process(k)
             if closed:
                 self.last_pose = s.kf_pose[k].copy()
+
+    def _mapping_worker(self):
+        """Background mapping + loop-closing thread (threads 2+3 of the
+        reference, cSystem.cpp:98,102, collapsed into one worker — the loop
+        closer runs after each mapped keyframe, like cLocalMapping feeding
+        cLoopClosing). Store mutations synchronize via map_lock; loop
+        corrections hold it for the whole CorrectLoop (the reference also
+        stops the mapper there, cLoopClosing.cpp:464-490)."""
+        import traceback
+
+        while True:
+            k = self._kf_queue.get()
+            if k is None:
+                self._kf_queue.task_done()
+                return
+            try:
+                self.mapper.run(k)
+                if self.loop_closer is not None:
+                    with self.map_lock:
+                        closed = self.loop_closer.process(k)
+                    if closed:
+                        # ForceRelocalisation after a loop correction
+                        # (cLoopClosing.cpp:643): the tracker's cached pose
+                        # predates the correction
+                        self._force_reloc = True
+            except Exception:
+                traceback.print_exc()
+            finally:
+                self._kf_queue.task_done()
 
     # ------------------------------------------------------------------
     def _relocalize(self, feats, m: FrameMetrics) -> bool:
@@ -398,29 +485,44 @@ class MultiColSLAM:
         from multicol_slam_tpu.slam.local_mapping import _bucket
 
         for cand in cands:
-            fk = np.nonzero((s.kf_point[cand] >= 0))[0]
-            if len(fk) < 15:
-                continue
-            # pad candidate descriptors to a bucket so the Hamming kernel and
-            # the RANSAC program compile once per bucket, not per attempt
-            nF = len(fk)
-            pF = _bucket(nF, 256)
-            cdesc = np.zeros((pF, B), np.uint8)
-            cdesc[:nF] = s.kf_desc[cand][fk]
-            d = np.array(hamming_matrix(jnp.asarray(cur_desc), jnp.asarray(cdesc)))
+            with self.map_lock:
+                fk = np.nonzero((s.kf_point[cand] >= 0))[0]
+                if len(fk) < 15:
+                    continue
+                # pad candidate descriptors to a bucket so the Hamming kernel
+                # and the RANSAC program compile once per bucket
+                nF = len(fk)
+                pF = _bucket(nF, 256)
+                cdesc = np.zeros((pF, B), np.uint8)
+                cdesc[:nF] = s.kf_desc[cand][fk]
+                cand_pts_row = s.kf_point[cand].copy()
+            if self.use_masks:
+                from multicol_slam_tpu.ops.matching import hamming_matrix_masked
+
+                cmask = np.full((pF, B), 255, np.uint8)
+                with self.map_lock:
+                    cmask[:nF] = s.kf_dmask[cand][fk]
+                cur_mask = np.asarray(feats.dmask).reshape(C * K, B)
+                d = np.array(hamming_matrix_masked(
+                    jnp.asarray(cur_desc), jnp.asarray(cur_mask),
+                    jnp.asarray(cdesc), jnp.asarray(cmask),
+                ))
+            else:
+                d = np.array(hamming_matrix(jnp.asarray(cur_desc), jnp.asarray(cdesc)))
             d[:, nF:] = 1e9
             d[~cur_valid] = 1e9
             best = d.argmin(1)
             bestd = d.min(1)
-            ok = bestd <= 64
+            ok = bestd <= self.th_low
             if ok.sum() < 15:
                 continue
             sel = np.nonzero(ok)[0]
-            pts = s.kf_point[cand][fk[best[sel]]]
+            pts = cand_pts_row[fk[best[sel]]]
             nS = len(sel)
             pS = _bucket(nS, 64)
             Xw = np.zeros((pS, 3), np.float32)
-            Xw[:nS] = s.pt_X[pts]
+            with self.map_lock:
+                Xw[:nS] = s.pt_X[pts]
             rays_p = np.zeros((pS, 3), np.float32)
             rays_p[:nS] = cur_rays[sel]
             rays_p[nS:, 2] = 1.0
@@ -450,7 +552,7 @@ class MultiColSLAM:
                 jnp.asarray(pose, jnp.float32), lp2,
                 scale_factor=self.settings.extractor.scale_factor,
                 n_levels=self.settings.extractor.n_levels,
-                radius=8.0, th_desc=96.0,
+                radius=8.0, th_desc=self.th_track, use_masks=self.use_masks,
             )
             if int(out.n_inliers) >= 10:
                 self.last_pose = np.asarray(out.pose)
@@ -502,21 +604,34 @@ class MultiColSLAM:
         s.write_back(prob, poses=np.asarray(out.poses)[:nK], points=np.asarray(out.points)[:nP])
 
     # ------------------------------------------------------------------
+    def wait_mapping_idle(self):
+        """Block until the async mapping worker has drained its queue (used
+        by benchmarks/tests that inspect the final map; the reference's
+        equivalent is waiting on the mapper's idle flag)."""
+        if self._kf_queue is not None:
+            self._kf_queue.join()
+
     def reset(self):
         """cTracking::Reset (cTracking.cpp:1353-1401)."""
+        self.wait_mapping_idle()
         self.store = MapStore(self.map_cfg)
-        self.mapper = LocalMapper(self.store, self.rig)
+        self.mapper = LocalMapper(self.store, self.rig, use_masks=self.use_masks, lock=self.map_lock)
         if self.loop_closer is not None:
             from multicol_slam_tpu.slam.loop_closing import LoopCloser
 
-            self.loop_closer = LoopCloser(self.store, self.rig)
+            self.loop_closer = LoopCloser(self.store, self.rig, use_masks=self.use_masks)
         self.state = NOT_INITIALIZED
         self.ref_feats = None
         self.last_assign_global = None
         self.velocity = np.eye(4, dtype=np.float32)
 
     def shutdown(self):
-        pass  # no threads to join: the pipeline is host-sequential
+        """Join the mapping worker (cSystem::Shutdown thread joins); no-op in
+        the sequential configuration."""
+        if self._worker is not None:
+            self._kf_queue.put(None)
+            self._worker.join(timeout=300)
+            self._worker = None
 
     def activate_localization_mode(self):
         """cSystem::ActivateLocalizationMode: freeze the map (no new

@@ -38,6 +38,9 @@ class LocalPoints(NamedTuple):
     min_dist: jnp.ndarray  # [L]
     max_dist: jnp.ndarray  # [L]
     valid: jnp.ndarray     # [L] bool
+    normal: jnp.ndarray = None  # [L, 3] mean viewing direction (pt_normal);
+    #                             None or all-zero rows disable the gate
+    dmask: jnp.ndarray = None   # [L, B] mdBRIEF stability masks
 
 
 class TrackStageOut(NamedTuple):
@@ -59,6 +62,25 @@ def project_rig(mc6, intr, pose6, X):
     return uv, Xc[..., 2]
 
 
+def _resolve_claims(best_pt, best_d, ok, L):
+    """One-to-one duplicate-claim resolution with the reference's
+    SearchByProjection semantics: a feature keeps its claim on point p iff no
+    OTHER feature of the same camera also CLAIMS p (as its own best match,
+    passing the threshold) at a smaller distance. A point may still match one
+    feature in EACH camera — the multi-fisheye specialty — so resolution is
+    per (cam, point), not global.
+
+    Computed as a vectorized masked min-reduce over the claim matrix (a
+    [C, K, L] broadcast — one extra elementwise pass over the distance-matrix
+    footprint; the serialized scatter-min alternative costs ~1.2 ms/stage on
+    TPU). best_pt/best_d/ok [C, K]. Returns keep [C, K]."""
+    C, K = best_pt.shape
+    BIGD = jnp.float32(1e9)
+    claims = (best_pt[..., None] == jnp.arange(L)[None, None, :]) & ok[..., None]
+    claimed_min = jnp.min(jnp.where(claims, best_d[..., None], BIGD), axis=1)  # [C, L]
+    return ok & (best_d <= jnp.take_along_axis(claimed_min, best_pt, axis=1))
+
+
 def project_and_match(
     mc6: jnp.ndarray,
     intr: jnp.ndarray,
@@ -71,10 +93,16 @@ def project_and_match(
     radius: float = 15.0,
     th_desc: float = 96.0,
     level_tol: int = 1,
+    use_masks: bool = False,
 ):
     """Projection-guided matching of candidate points against frame features
     (the SearchByProjection family, cORBmatcher.cpp:67-166). Returns
-    (assign [C*K] local point idx or -1, dist [C*K], keep [C*K] bool)."""
+    (assign [C*K] local point idx or -1, dist [C*K], keep [C*K] bool).
+
+    use_masks=True switches to the mdBRIEF masked Hamming distance
+    (cORBmatcher.cpp:2457-2480) using pts.dmask / feats.dmask — callers must
+    pass a x0.5-scaled th_desc (matching.th_high/th_low masked variants).
+    """
     C, K, B = feats.desc.shape
     L = pts.X.shape[0]
     uv_p, z = project_rig(mc6, intr, pose0, pts.X)                 # [C, L, 2], [C, L]
@@ -83,45 +111,56 @@ def project_and_match(
     # scale-invariance distance band + predicted pyramid level
     Mt = cayley_to_hom(pose0)
     centers = jnp.einsum("ij,cjk->cik", Mt, cayley_to_hom(mc6))[:, :3, 3]  # [C,3]
-    dist = jnp.linalg.norm(pts.X[None] - centers[:, None], axis=-1)        # [C,L]
+    view = pts.X[None] - centers[:, None]                                  # [C,L,3]
+    dist = jnp.linalg.norm(view, axis=-1)                                  # [C,L]
     band = (dist >= pts.min_dist[None] * 0.8) & (dist <= pts.max_dist[None] * 1.2)
     ratio = jnp.maximum(dist / jnp.maximum(pts.min_dist[None], 1e-6), 1.0)
     pred_level = jnp.clip(
         jnp.round(jnp.log(ratio) / np.log(scale_factor)).astype(jnp.int32), 0, n_levels - 1
     )                                                               # [C,L]
     cand = pts.valid[None] & (z > 0) & in_img & band                # [C, L]
+    if pts.normal is not None:
+        # viewing-angle gate (isInFrustum, cMultiFrame.cpp:218-270): reject
+        # when cos(angle between mean viewing normal and current view) < 0.5;
+        # points with no accumulated normal (zero rows) pass
+        ncos = jnp.sum(view * pts.normal[None], axis=-1) / jnp.maximum(dist, 1e-9)
+        have_n = jnp.linalg.norm(pts.normal, axis=-1) > 1e-6
+        cand = cand & (~have_n[None] | (ncos > 0.5))
     rad = radius * scale_factor ** pred_level.astype(jnp.float32)   # [C, L]
     BIGD = jnp.float32(1e9)
+    masked = use_masks and pts.dmask is not None
     from multicol_slam_tpu.ops.pallas_match import masked_best_match_pallas_cams, use_pallas
 
     if use_pallas():
         # fused kernel, ONE launch for all cameras (grid = cameras x tiles):
         # rows = features, cols = points; per-point radius/candidacy folds
-        # into rad_t (<0 disables). col_best = per-(cam, point) best distance
-        # over all features — the duplicate-claim resolution, free inside the
-        # kernel (a scatter-min here costs ~1.2 ms/stage on TPU).
+        # into rad_t (<0 disables)
         rad_t = jnp.where(cand, rad, -1.0)                          # [C, L]
         rad_q = jnp.where(feats.valid, BIGD, -1.0)                  # [C, K]
-        best_d, _, idx, col_best = masked_best_match_pallas_cams(
+        best_d, _, idx, _ = masked_best_match_pallas_cams(
             feats.desc, feats.uv, feats.octave,
             pts.desc, uv_p, rad_t, pred_level.astype(jnp.float32),
-            rad_q=rad_q, level_tol=float(level_tol),
+            rad_q=rad_q,
+            mask_q=feats.dmask if masked else None,
+            mask_t=pts.dmask if masked else None,
+            level_tol=float(level_tol),
         )
         best_pt = jnp.maximum(idx, 0)                               # [C, K]
         ok = (idx >= 0) & (best_d <= th_desc)
-        flat_pt = best_pt.reshape(C * K)
-        flat_d = best_d.reshape(C * K)
-        flat_ok = ok.reshape(C * K)
-        cam_of = jnp.repeat(jnp.arange(C), K)
-        keep = flat_ok & (flat_d <= col_best[cam_of, flat_pt])
-        assign = jnp.where(keep, flat_pt, -1)
-        return assign, flat_d, keep
     else:
-        # dense Hamming: [C, L, K] via one MXU matmul per camera
-        a = unpack_pm1(pts.desc)                                    # [L, 8B]
-        b = unpack_pm1(feats.desc.reshape(C * K, B)).reshape(C, K, 8 * B)
-        dots = jnp.einsum("lj,ckj->clk", a, b, preferred_element_type=jnp.float32)
-        ham = 0.5 * (8 * B - dots)                                  # [C, L, K]
+        # dense Hamming: [C, L, K] via MXU matmuls per camera
+        from multicol_slam_tpu.ops.matching import hamming_matrix, hamming_matrix_masked
+
+        if masked:
+            ham = hamming_matrix_masked(
+                pts.desc, pts.dmask,
+                feats.desc.reshape(C * K, B), feats.dmask.reshape(C * K, B),
+            ).reshape(L, C, K).transpose(1, 0, 2)                   # [C, L, K]
+        else:
+            a = unpack_pm1(pts.desc)                                # [L, 8B]
+            b = unpack_pm1(feats.desc.reshape(C * K, B)).reshape(C, K, 8 * B)
+            dots = jnp.einsum("lj,ckj->clk", a, b, preferred_element_type=jnp.float32)
+            ham = 0.5 * (8 * B - dots)                              # [C, L, K]
         # window + level-band mask
         du = jnp.abs(uv_p[:, :, None, 0] - feats.uv[:, None, :, 0])
         dv = jnp.abs(uv_p[:, :, None, 1] - feats.uv[:, None, :, 1])
@@ -129,25 +168,19 @@ def project_and_match(
         lvl_ok = jnp.abs(feats.octave[:, None, :] - pred_level[:, :, None]) <= level_tol
         mask = window & lvl_ok & cand[:, :, None] & feats.valid[:, None, :]
         d = jnp.where(mask, ham, BIGD)
-        # per-feature best point; then one-to-one by keeping per-point best feature
         best_pt = jnp.argmin(d, axis=1)                             # [C, K]
         best_d = jnp.min(d, axis=1)                                 # [C, K]
         ok = best_d <= th_desc
+    # identical one-to-one resolution on BOTH paths (claim-restricted min)
+    keep2 = _resolve_claims(best_pt, best_d, ok, L)
     flat_pt = best_pt.reshape(C * K)
     flat_d = best_d.reshape(C * K)
-    flat_ok = ok.reshape(C * K)
-    # resolve duplicate claims on the same point: keep min-distance feature
-    # NOTE: a point may legitimately match one feature in EACH camera (the
-    # multi-camera specialty) — resolve per (cam, point), not globally.
-    per_cam_min = jnp.full((C, L), BIGD).at[
-        jnp.repeat(jnp.arange(C), K), best_pt.reshape(-1)
-    ].min(jnp.where(flat_ok, flat_d, BIGD))
-    keep = flat_ok & (flat_d <= per_cam_min[jnp.repeat(jnp.arange(C), K), flat_pt])
+    keep = keep2.reshape(C * K)
     assign = jnp.where(keep, flat_pt, -1)
     return assign, flat_d, keep
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "th_desc", "level_tol", "scale_factor", "n_levels"))
+@functools.partial(jax.jit, static_argnames=("radius", "th_desc", "level_tol", "scale_factor", "n_levels", "use_masks"))
 def track_stage(
     mc6: jnp.ndarray,
     intr: jnp.ndarray,
@@ -160,6 +193,7 @@ def track_stage(
     radius: float = 15.0,
     th_desc: float = 96.0,
     level_tol: int = 1,
+    use_masks: bool = False,
 ) -> TrackStageOut:
     """One matching + pose-optimization stage.
 
@@ -169,7 +203,8 @@ def track_stage(
     """
     C, K, B = feats.desc.shape
     assign, flat_d, keep = project_and_match(
-        mc6, intr, cams, feats, pose0, pts, scale_factor, n_levels, radius, th_desc, level_tol
+        mc6, intr, cams, feats, pose0, pts, scale_factor, n_levels, radius, th_desc,
+        level_tol, use_masks,
     )
     n_matches = jnp.sum(keep)
     # ---- pose optimization on the matched observations -------------------
@@ -186,17 +221,21 @@ def track_stage(
     return TrackStageOut(poses_out[0], assign, inl, n_matches, n_inl)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "th_desc", "ratio"))
+@functools.partial(jax.jit, static_argnames=("radius", "th_desc", "ratio", "check_rotation", "use_masks"))
 def match_window_frames(
     feats_q,
     feats_t,
     radius: float = 100.0,
     th_desc: float = 64.0,
     ratio: float = 0.9,
+    check_rotation: bool = False,
+    use_masks: bool = False,
 ):
     """Same-camera window matching between two frames (WindowSearch /
     SearchForInitialization, cORBmatcher.cpp:326/:579): dense per-camera
-    Hamming + spatial window + Lowe ratio + mutual consistency.
+    Hamming + spatial window + Lowe ratio + mutual consistency; optional
+    rotation-histogram filtering (the reference's rotHist, :640-680) and
+    mdBRIEF masked distance (use_masks; pass x0.5-scaled th_desc).
 
     Returns (match_idx [C, K] target index or -1, dist [C, K]).
     """
@@ -211,38 +250,56 @@ def match_window_frames(
         best, second, idx, _ = masked_best_match_pallas_cams(
             feats_q.desc, feats_q.uv, zeros,
             feats_t.desc, feats_t.uv, rad_t, zeros,
-            rad_q=rad_q, level_tol=1e9,
+            rad_q=rad_q,
+            mask_q=feats_q.dmask if use_masks else None,
+            mask_t=feats_t.dmask if use_masks else None,
+            level_tol=1e9,
         )
         # mutual check via the swapped call (targets as queries)
         _, _, i_tq, _ = masked_best_match_pallas_cams(
             feats_t.desc, feats_t.uv, zeros,
             feats_q.desc, feats_q.uv, rad_q, zeros,
-            rad_q=rad_t, level_tol=1e9,
+            rad_q=rad_t,
+            mask_q=feats_t.dmask if use_masks else None,
+            mask_t=feats_q.dmask if use_masks else None,
+            level_tol=1e9,
         )
         ok = (idx >= 0) & (best <= th_desc) & (best < ratio * second)
         mutual = jnp.take_along_axis(i_tq, jnp.maximum(idx, 0), axis=1) == jnp.arange(K)[None, :]
         ok = ok & mutual
-        return jnp.where(ok, idx, -1), best
+    else:
+        if use_masks:
+            from multicol_slam_tpu.ops.matching import hamming_matrix_masked
 
-    a = unpack_pm1(feats_q.desc.reshape(C * K, B)).reshape(C, K, 8 * B)
-    b = unpack_pm1(feats_t.desc.reshape(C * K, B)).reshape(C, K, 8 * B)
-    dots = jnp.einsum("cqj,ckj->cqk", a, b, preferred_element_type=jnp.float32)
-    ham = 0.5 * (8 * B - dots)                                      # [C, Kq, Kt]
-    du = jnp.abs(feats_q.uv[:, :, None, 0] - feats_t.uv[:, None, :, 0])
-    dv = jnp.abs(feats_q.uv[:, :, None, 1] - feats_t.uv[:, None, :, 1])
-    mask = (du <= radius) & (dv <= radius)
-    mask = mask & feats_q.valid[:, :, None] & feats_t.valid[:, None, :]
-    d = jnp.where(mask, ham, BIGD)
-    idx = jnp.argmin(d, axis=2)
-    best = jnp.min(d, axis=2)
-    d2 = jnp.where(
-        jax.nn.one_hot(idx, K, dtype=bool), BIGD, d
-    )
-    second = jnp.min(d2, axis=2)
-    ok = (best <= th_desc) & (best < ratio * second)
-    # mutual check
-    idx_tq = jnp.argmin(d, axis=1)                                   # [C, Kt]
-    qids = jnp.arange(K)[None, :]
-    mutual = jnp.take_along_axis(idx_tq, idx, axis=1) == qids
-    ok = ok & mutual
+            ham = jax.vmap(hamming_matrix_masked)(
+                feats_q.desc, feats_q.dmask, feats_t.desc, feats_t.dmask
+            )                                                        # [C, Kq, Kt]
+        else:
+            a = unpack_pm1(feats_q.desc.reshape(C * K, B)).reshape(C, K, 8 * B)
+            b = unpack_pm1(feats_t.desc.reshape(C * K, B)).reshape(C, K, 8 * B)
+            dots = jnp.einsum("cqj,ckj->cqk", a, b, preferred_element_type=jnp.float32)
+            ham = 0.5 * (8 * B - dots)                               # [C, Kq, Kt]
+        du = jnp.abs(feats_q.uv[:, :, None, 0] - feats_t.uv[:, None, :, 0])
+        dv = jnp.abs(feats_q.uv[:, :, None, 1] - feats_t.uv[:, None, :, 1])
+        mask = (du <= radius) & (dv <= radius)
+        mask = mask & feats_q.valid[:, :, None] & feats_t.valid[:, None, :]
+        d = jnp.where(mask, ham, BIGD)
+        idx = jnp.argmin(d, axis=2)
+        best = jnp.min(d, axis=2)
+        d2 = jnp.where(
+            jax.nn.one_hot(idx, K, dtype=bool), BIGD, d
+        )
+        second = jnp.min(d2, axis=2)
+        ok = (best <= th_desc) & (best < ratio * second)
+        # mutual check
+        idx_tq = jnp.argmin(d, axis=1)                               # [C, Kt]
+        qids = jnp.arange(K)[None, :]
+        mutual = jnp.take_along_axis(idx_tq, idx, axis=1) == qids
+        ok = ok & mutual
+    if check_rotation:
+        from multicol_slam_tpu.ops.matching import rotation_consistency
+
+        ang_t = jnp.take_along_axis(feats_t.angle, jnp.maximum(idx, 0), axis=1)
+        dangle = (feats_q.angle - ang_t).reshape(C * K)
+        ok = rotation_consistency(dangle, ok.reshape(C * K)).reshape(C, K)
     return jnp.where(ok, idx, -1), best

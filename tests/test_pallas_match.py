@@ -130,3 +130,59 @@ def test_track_stage_pallas_agrees_with_jnp(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out_pl.pose), np.asarray(out_np.pose), atol=1e-5
     )
+
+
+def test_cams_kernel_masked_distance_matches_formula():
+    """The masked (mdBRIEF) kernel variant == the two-matmul masked-Hamming
+    identity computed densely (cORBmatcher.cpp:2457-2480 semantics)."""
+    from multicol_slam_tpu.ops.matching import hamming_matrix_masked
+    from multicol_slam_tpu.ops.pallas_match import masked_best_match_pallas_cams
+
+    C, Q, T, B = 2, 48, 600, 32
+    rng = np.random.default_rng(9)
+    dq = rng.integers(0, 256, (C, Q, B), dtype=np.uint8)
+    dt = rng.integers(0, 256, (C, T, B), dtype=np.uint8)
+    mq = rng.integers(0, 256, (C, Q, B), dtype=np.uint8)
+    mt = rng.integers(0, 256, (C, T, B), dtype=np.uint8)
+    uvq = rng.uniform(0, 500, (C, Q, 2)).astype(np.float32)
+    uvt = rng.uniform(0, 500, (C, T, 2)).astype(np.float32)
+    radt = np.full((C, T), 1e9, np.float32)
+    lvlt = np.zeros((C, T), np.float32)
+    best, second, idx, colb = masked_best_match_pallas_cams(
+        jnp.asarray(dq), jnp.asarray(uvq), jnp.zeros((C, Q)),
+        jnp.asarray(dt), jnp.asarray(uvt), jnp.asarray(radt), jnp.asarray(lvlt),
+        mask_q=jnp.asarray(mq), mask_t=jnp.asarray(mt),
+        level_tol=1e9, interpret=True,
+    )
+    for c in range(C):
+        dmat = np.asarray(hamming_matrix_masked(
+            jnp.asarray(dq[c]), jnp.asarray(mq[c]), jnp.asarray(dt[c]), jnp.asarray(mt[c])
+        ))
+        np.testing.assert_allclose(np.asarray(best[c]), dmat.min(1), atol=0.5)
+        assert (np.asarray(idx[c]) == dmat.argmin(1)).all()
+        np.testing.assert_allclose(np.asarray(colb[c]), dmat.min(0), atol=0.5)
+
+
+def test_cams_kernel_full_masks_equal_plain_hamming():
+    """All-ones masks reduce the masked distance to plain Hamming — the
+    masked kernel is a strict generalization."""
+    from multicol_slam_tpu.ops.pallas_match import masked_best_match_pallas_cams
+
+    C, Q, T, B = 1, 16, 512, 32
+    rng = np.random.default_rng(10)
+    dq = rng.integers(0, 256, (C, Q, B), dtype=np.uint8)
+    dt = rng.integers(0, 256, (C, T, B), dtype=np.uint8)
+    full = np.full((C, Q, B), 255, np.uint8)
+    fullt = np.full((C, T, B), 255, np.uint8)
+    uvq = rng.uniform(0, 100, (C, Q, 2)).astype(np.float32)
+    uvt = rng.uniform(0, 100, (C, T, 2)).astype(np.float32)
+    radt = np.full((C, T), 1e9, np.float32)
+    lvlt = np.zeros((C, T), np.float32)
+    common = (jnp.asarray(dq), jnp.asarray(uvq), jnp.zeros((C, Q)),
+              jnp.asarray(dt), jnp.asarray(uvt), jnp.asarray(radt), jnp.asarray(lvlt))
+    b1, s1, i1, c1 = masked_best_match_pallas_cams(
+        *common, mask_q=jnp.asarray(full), mask_t=jnp.asarray(fullt),
+        level_tol=1e9, interpret=True)
+    b2, s2, i2, c2 = masked_best_match_pallas_cams(*common, level_tol=1e9, interpret=True)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=0.5)
+    assert (np.asarray(i1) == np.asarray(i2)).all()
