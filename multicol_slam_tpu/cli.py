@@ -130,7 +130,8 @@ def main(argv=None):
         if slam.loop_closer is not None:
             from multicol_slam_tpu.slam.loop_closing import LoopCloser
 
-            slam.loop_closer = LoopCloser(slam.store, rig, use_masks=slam.use_masks)
+            slam.loop_closer = LoopCloser(slam.store, rig, use_masks=slam.use_masks,
+                                          lock=slam.map_lock)
         slam.state = LOST
         # a resumed map must survive failed first-frame relocalizations: the
         # LOST auto-reset (<=3 KFs) would silently wipe a small loaded map

@@ -61,12 +61,16 @@ class SyntheticWorld:
     # genuine loop structure where places leave view and reappear)
     max_vis_dist: float = 25.0
     # Optional odometric-drift injection: drifts[t] is a 4x4 SE3 D(t) applied
-    # rigidly to BOTH the pose and the landmarks when synthesizing frame t.
-    # Each frame stays perfectly self-consistent (projection is invariant
-    # under a rigid world transform), but D(t) grows with t, so a tracker
-    # building its map incrementally accumulates exactly the locally-
-    # consistent / globally-inconsistent error of real odometric drift —
-    # the precondition for a meaningful loop-closure correction test.
+    # to the LANDMARKS ONLY (not the pose) when synthesizing frame t. Within
+    # one frame all cameras of the rig consistently observe the rigidly-moved
+    # world D(t)·X from the true pose M_t, so the frame is self-consistent;
+    # between frames the world creeps by D(t+1)∘D(t)^-1, which a tracker can
+    # only absorb into its pose estimate — the textbook odometric-drift
+    # recurrence. Old map regions keep their old gauge, so by the time a
+    # trajectory revisits its start the estimate carries ~D(T) of error
+    # against landmarks stored near D(0)·X ≈ X: a REAL loop-closure gap.
+    # (Applying D to both pose and landmarks, as an earlier revision did, is
+    # a projective no-op — the transforms cancel and no drift is injected.)
     drifts: Optional[np.ndarray] = None   # [T, 4, 4] or None
 
     def frame_features(self, t: int) -> FrameFeatures:
@@ -166,15 +170,15 @@ def synthesize_features(
 ) -> FrameFeatures:
     """Project landmarks into all cameras at the given body pose and emit a
     padded FrameFeatures with noisy pixels + lightly-corrupted descriptors.
-    `world_T` (4x4) rigidly transforms both the pose and the landmarks —
-    projections are unchanged within the frame, but a tracker integrating
-    over frames with growing world_T accumulates odometric drift."""
+    `world_T` (4x4) rigidly transforms the LANDMARKS only (odometric-drift
+    injection — see SyntheticWorld.drifts): the frame observes the moved
+    world D·X from the true pose, so a tracker integrating over frames with
+    growing world_T accumulates real drift against its earlier map."""
     rng = np.random.default_rng(seed)
     C = rig.n_cams
     B = descs.shape[1]
     Mt = np.asarray(cayley_to_hom(jnp.asarray(pose6, jnp.float32)))
     if world_T is not None:
-        Mt = np.asarray(world_T, np.float64) @ Mt
         points = points @ np.asarray(world_T, np.float64)[:3, :3].T + world_T[:3, 3]
         points = points.astype(np.float32)
     uv_list, ray_list, desc_list, valid_list = [], [], [], []

@@ -54,6 +54,19 @@ def _bucket(n: int, minimum: int, step: Optional[int] = None) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def _bucket4(n: int, minimum: int) -> int:
+    """Power-of-FOUR bucket (minimum, 4*minimum, 16*minimum, ...): used for
+    the BA problem paddings, where every distinct (pK, pP, pO) shape combo is
+    a multi-second XLA compile of the LM solver. x4 growth caps the ladder at
+    ~4 sizes per axis over any realistic map size — padding FLOPs are cheap
+    on the MXU, recompiles on the tracking critical path are not."""
+    n = max(n, minimum)
+    b = minimum
+    while b < n:
+        b *= 4
+    return b
+
+
 class TriangulationOut(NamedTuple):
     X: jnp.ndarray        # [C*K, 3] new world points
     feat1: jnp.ndarray    # [C*K] flat feature idx in KF1 (query)
@@ -217,70 +230,108 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def create_new_points(self, k: int, n_neighbors: int = 5):
-        """CreateNewMapPoints (cLocalMapping.cpp:224-387)."""
+        """CreateNewMapPoints (cLocalMapping.cpp:224-387).
+
+        Three-phase: snapshot the needed store blocks under the lock, run the
+        device triangulation for every neighbor pair WITHOUT the lock (the
+        expensive part — an async tracker must not stall behind it), then
+        commit new points under the lock with a freshness re-check (a feature
+        claimed meanwhile stays claimed; same benign-race discipline as the
+        reference's commented-out map mutex, cMap.h:39)."""
         s = self.store
-        neighbors = s.best_covisible(k, n_neighbors)
-        created = 0
-        new_ids: List[int] = []
-        pose1 = jnp.asarray(s.kf_pose[k])
-        F = s.cfg.feats_per_kf
         C = s.cfg.n_cams
         K = s.cfg.feats_per_cam
-        uv1 = jnp.asarray(s.kf_uv[k].reshape(C, K, 2))
-        rays1 = jnp.asarray(s.kf_rays[k].reshape(C, K, 3))
-        desc1 = jnp.asarray(s.kf_desc[k].reshape(C, K, -1))
-        ang1 = jnp.asarray(s.kf_angle[k].reshape(C, K))
-        dmask1 = jnp.asarray(s.kf_dmask[k].reshape(C, K, -1)) if self.use_masks else None
         th = 0.5 * 2.0 * s.cfg.desc_bytes if self.use_masks else 2.0 * s.cfg.desc_bytes
-        for j in neighbors:
-            # baseline / median-depth gate (:255)
-            b = np.linalg.norm(s.kf_pose[k][3:] - s.kf_pose[j][3:])
-            med_depth = self._median_depth(j)
-            if med_depth <= 0 or b / med_depth < MIN_BASELINE_DEPTH_RATIO:
-                continue
-            free1 = jnp.asarray((s.kf_point[k] == BAD_ID).reshape(C, K) & s.kf_feat_valid[k].reshape(C, K))
-            free2 = jnp.asarray((s.kf_point[j] == BAD_ID).reshape(C, K) & s.kf_feat_valid[j].reshape(C, K))
+        # ---- phase 1: snapshot (lock) -------------------------------------
+        with self.lock:
+            if not s.kf_valid[k]:
+                return 0
+            neighbors = s.best_covisible(k, n_neighbors)
+            pose1_np = s.kf_pose[k].copy()
+            pairs = []
+            for j in neighbors:
+                # baseline / median-depth gate (:255)
+                b = np.linalg.norm(pose1_np[3:] - s.kf_pose[j][3:])
+                med_depth = self._median_depth(j)
+                if med_depth <= 0 or b / med_depth < MIN_BASELINE_DEPTH_RATIO:
+                    continue
+                pairs.append((
+                    int(j),
+                    s.kf_pose[j].copy(),
+                    s.kf_uv[j].reshape(C, K, 2).copy(),
+                    s.kf_rays[j].reshape(C, K, 3).copy(),
+                    s.kf_desc[j].reshape(C, K, -1).copy(),
+                    ((s.kf_point[j] == BAD_ID) & s.kf_feat_valid[j]).reshape(C, K).copy(),
+                    s.kf_angle[j].reshape(C, K).copy(),
+                    s.kf_dmask[j].reshape(C, K, -1).copy() if self.use_masks else None,
+                ))
+            if not pairs:
+                return 0
+            free1_np = ((s.kf_point[k] == BAD_ID) & s.kf_feat_valid[k]).reshape(C, K).copy()
+            uv1_np = s.kf_uv[k].reshape(C, K, 2).copy()
+            rays1_np = s.kf_rays[k].reshape(C, K, 3).copy()
+            desc1_np = s.kf_desc[k].reshape(C, K, -1).copy()
+            ang1_np = s.kf_angle[k].reshape(C, K).copy()
+            dmask1_np = s.kf_dmask[k].reshape(C, K, -1).copy() if self.use_masks else None
+        # ---- phase 2: triangulate (no lock) -------------------------------
+        pose1 = jnp.asarray(pose1_np)
+        uv1 = jnp.asarray(uv1_np)
+        rays1 = jnp.asarray(rays1_np)
+        desc1 = jnp.asarray(desc1_np)
+        ang1 = jnp.asarray(ang1_np)
+        free1 = jnp.asarray(free1_np)
+        dmask1 = jnp.asarray(dmask1_np) if self.use_masks else None
+        results = []
+        for j, pose2, uv2, rays2, desc2, free2, ang2, dmask2 in pairs:
             out = triangulate_pair(
                 self.mc6,
                 pose1,
-                jnp.asarray(s.kf_pose[j]),
+                jnp.asarray(pose2),
                 uv1, rays1, desc1, free1,
-                jnp.asarray(s.kf_uv[j].reshape(C, K, 2)),
-                jnp.asarray(s.kf_rays[j].reshape(C, K, 3)),
-                jnp.asarray(s.kf_desc[j].reshape(C, K, -1)),
-                free2,
+                jnp.asarray(uv2), jnp.asarray(rays2), jnp.asarray(desc2),
+                jnp.asarray(free2),
                 self.intr,
                 th_desc=th,
                 ang1=ang1,
-                ang2=jnp.asarray(s.kf_angle[j].reshape(C, K)),
+                ang2=jnp.asarray(ang2),
                 dmask1=dmask1,
-                dmask2=jnp.asarray(s.kf_dmask[j].reshape(C, K, -1)) if self.use_masks else None,
+                dmask2=jnp.asarray(dmask2) if self.use_masks else None,
                 check_rotation=True,
                 use_masks=self.use_masks,
             )
-            ok = np.asarray(out.ok)
-            X = np.asarray(out.X)
-            f1 = np.asarray(out.feat1)
-            f2 = np.asarray(out.feat2)
-            for i in np.nonzero(ok)[0]:
-                if s.kf_point[k, f1[i]] != BAD_ID or s.kf_point[j, f2[i]] != BAD_ID:
-                    continue  # got claimed by an earlier neighbor pair
-                p = s.add_point(
-                    X[i],
-                    s.kf_desc[k, f1[i]],
-                    s.kf_dmask[k, f1[i]],
-                    first_kf=k,
-                    normal=np.zeros(3, np.float32),
-                    min_dist=0.1,
-                    max_dist=MAX_DIST,
-                )
-                s.add_observation(k, int(f1[i]), p)
-                s.add_observation(j, int(f2[i]), p)
-                new_ids.append(p)
-                self.recent_points.append((p, k))
-                created += 1
-        if new_ids:
-            s.update_point_stats_many(np.asarray(new_ids))
+            results.append((j, out))
+        results = [
+            (j, np.asarray(o.ok), np.asarray(o.X), np.asarray(o.feat1), np.asarray(o.feat2))
+            for j, o in results
+        ]
+        # ---- phase 3: commit (lock) ---------------------------------------
+        created = 0
+        new_ids: List[int] = []
+        with self.lock:
+            if not s.kf_valid[k]:
+                return 0
+            for j, ok, X, f1, f2 in results:
+                if not s.kf_valid[j]:
+                    continue
+                for i in np.nonzero(ok)[0]:
+                    if s.kf_point[k, f1[i]] != BAD_ID or s.kf_point[j, f2[i]] != BAD_ID:
+                        continue  # got claimed by an earlier pair / the tracker
+                    p = s.add_point(
+                        X[i],
+                        s.kf_desc[k, f1[i]],
+                        s.kf_dmask[k, f1[i]],
+                        first_kf=k,
+                        normal=np.zeros(3, np.float32),
+                        min_dist=0.1,
+                        max_dist=MAX_DIST,
+                    )
+                    s.add_observation(k, int(f1[i]), p)
+                    s.add_observation(j, int(f2[i]), p)
+                    new_ids.append(p)
+                    self.recent_points.append((p, k))
+                    created += 1
+            if new_ids:
+                s.update_point_stats_many(np.asarray(new_ids))
         return created
 
     def _median_depth(self, k: int) -> float:
@@ -300,69 +351,99 @@ class LocalMapper:
     # ------------------------------------------------------------------
     def fuse_neighbors(self, k: int, radius: float = 3.0):
         """SearchInNeighbors (cLocalMapping.cpp:388-458): project this KF's
-        points into 1st/2nd-ring neighbors and fuse duplicate observations."""
+        points into 1st/2nd-ring neighbors and fuse duplicate observations.
+
+        Same three-phase structure as create_new_points: snapshot under the
+        lock, device matching for all targets without it, commit merges under
+        it with validity re-checks."""
         from multicol_slam_tpu.slam.tracking_kernels import LocalPoints, project_and_match
         from multicol_slam_tpu.slam.features import FrameFeatures
 
         s = self.store
-        ring1 = s.best_covisible(k, 10)
-        targets = set(ring1)
-        for j in ring1:
-            targets.update(s.best_covisible(j, 5))
-        targets.discard(k)
-        pts = s.kf_point[k]
-        pts = np.unique(pts[pts >= 0])
-        if len(pts) == 0:
-            return 0
-        L = int(2 ** int(np.ceil(np.log2(max(len(pts), 64)))))
-        pad = L - len(pts)
-        lp = LocalPoints(
-            X=jnp.asarray(np.pad(s.pt_X[pts], ((0, pad), (0, 0)))),
-            desc=jnp.asarray(np.pad(s.pt_desc[pts], ((0, pad), (0, 0)))),
-            min_dist=jnp.asarray(np.pad(s.pt_min_dist[pts], (0, pad))),
-            max_dist=jnp.asarray(np.pad(s.pt_max_dist[pts], (0, pad), constant_values=1.0)),
-            valid=jnp.asarray(np.pad(np.ones(len(pts), bool), (0, pad))),
-            normal=jnp.asarray(np.pad(s.pt_normal[pts], ((0, pad), (0, 0)))),
-            dmask=jnp.asarray(np.pad(s.pt_dmask[pts], ((0, pad), (0, 0)))) if self.use_masks else None,
-        )
         C, K = s.cfg.n_cams, s.cfg.feats_per_cam
-        fused = 0
-        touched: List[int] = []
-        for j in sorted(targets):
-            if not s.kf_valid[j]:
-                continue
+        # ---- phase 1: snapshot (lock) -------------------------------------
+        with self.lock:
+            if not s.kf_valid[k]:
+                return 0
+            ring1 = s.best_covisible(k, 10)
+            targets = set(ring1)
+            for j in ring1:
+                targets.update(s.best_covisible(j, 5))
+            targets.discard(k)
+            pts = s.kf_point[k]
+            pts = np.unique(pts[pts >= 0])
+            if len(pts) == 0 or not targets:
+                return 0
+            L = int(2 ** int(np.ceil(np.log2(max(len(pts), 64)))))
+            pad = L - len(pts)
+            lp = LocalPoints(
+                X=jnp.asarray(np.pad(s.pt_X[pts], ((0, pad), (0, 0)))),
+                desc=jnp.asarray(np.pad(s.pt_desc[pts], ((0, pad), (0, 0)))),
+                min_dist=jnp.asarray(np.pad(s.pt_min_dist[pts], (0, pad))),
+                max_dist=jnp.asarray(np.pad(s.pt_max_dist[pts], (0, pad), constant_values=1.0)),
+                valid=jnp.asarray(np.pad(np.ones(len(pts), bool), (0, pad))),
+                normal=jnp.asarray(np.pad(s.pt_normal[pts], ((0, pad), (0, 0)))),
+                dmask=jnp.asarray(np.pad(s.pt_dmask[pts], ((0, pad), (0, 0)))) if self.use_masks else None,
+            )
+            tsnap = []
+            for j in sorted(targets):
+                if not s.kf_valid[j]:
+                    continue
+                tsnap.append((
+                    int(j),
+                    s.kf_pose[j].copy(),
+                    s.kf_uv[j].reshape(C, K, 2).copy(),
+                    s.kf_octave[j].reshape(C, K).copy(),
+                    s.kf_angle[j].reshape(C, K).copy(),
+                    s.kf_rays[j].reshape(C, K, 3).copy(),
+                    s.kf_desc[j].reshape(C, K, -1).copy(),
+                    s.kf_dmask[j].reshape(C, K, -1).copy(),
+                    s.kf_feat_valid[j].reshape(C, K).copy(),
+                ))
+        # ---- phase 2: match (no lock) -------------------------------------
+        matches = []
+        for j, pose, uv, octv, ang, rays, desc, dmask, fvalid in tsnap:
             fj = FrameFeatures(
-                uv=jnp.asarray(s.kf_uv[j].reshape(C, K, 2)),
+                uv=jnp.asarray(uv),
                 response=jnp.zeros((C, K)),
-                octave=jnp.asarray(s.kf_octave[j].reshape(C, K)),
-                angle=jnp.asarray(s.kf_angle[j].reshape(C, K)),
-                rays=jnp.asarray(s.kf_rays[j].reshape(C, K, 3)),
-                desc=jnp.asarray(s.kf_desc[j].reshape(C, K, -1)),
-                dmask=jnp.asarray(s.kf_dmask[j].reshape(C, K, -1)),
-                valid=jnp.asarray(s.kf_feat_valid[j].reshape(C, K)),
+                octave=jnp.asarray(octv),
+                angle=jnp.asarray(ang),
+                rays=jnp.asarray(rays),
+                desc=jnp.asarray(desc),
+                dmask=jnp.asarray(dmask),
+                valid=jnp.asarray(fvalid),
             )
             assign, dist, keep = fuse_match(
-                self.mc6, self.intr, self.rig.cams, fj, jnp.asarray(s.kf_pose[j]), lp, radius,
+                self.mc6, self.intr, self.rig.cams, fj, jnp.asarray(pose), lp, radius,
                 use_masks=self.use_masks,
             )
-            assign = np.asarray(assign)
-            keep = np.asarray(keep)
-            for f in np.nonzero(keep)[0]:
-                p = int(pts[assign[f]])
-                existing = s.kf_point[j, f]
-                if existing == BAD_ID:
-                    s.add_observation(j, int(f), p)
-                    touched.append(p)
-                    fused += 1
-                elif existing != p and s.pt_valid[existing]:
-                    # keep the point with more observations (Fuse semantics)
-                    if s.point_n_obs(existing) >= s.point_n_obs(p):
-                        s.replace_point(p, int(existing))
-                    else:
-                        s.replace_point(int(existing), p)
-                    fused += 1
-        if touched:
-            s.update_point_stats_many(np.asarray(touched))
+            matches.append((j, assign, keep))
+        matches = [(j, np.asarray(a), np.asarray(kp)) for j, a, kp in matches]
+        # ---- phase 3: commit (lock) ---------------------------------------
+        fused = 0
+        touched: List[int] = []
+        with self.lock:
+            for j, assign, keep in matches:
+                if not s.kf_valid[j]:
+                    continue
+                for f in np.nonzero(keep)[0]:
+                    p = int(pts[assign[f]])
+                    if not s.pt_valid[p]:
+                        continue
+                    existing = s.kf_point[j, f]
+                    if existing == BAD_ID:
+                        s.add_observation(j, int(f), p)
+                        touched.append(p)
+                        fused += 1
+                    elif existing != p and s.pt_valid[existing]:
+                        # keep the point with more observations (Fuse semantics)
+                        if s.point_n_obs(existing) >= s.point_n_obs(p):
+                            s.replace_point(p, int(existing))
+                        else:
+                            s.replace_point(int(existing), p)
+                        fused += 1
+            if touched:
+                s.update_point_stats_many(np.asarray(touched))
         return fused
 
     # ------------------------------------------------------------------
@@ -409,9 +490,9 @@ class LocalMapper:
         # Bucketed padding: local-BA problem sizes vary every keyframe, and
         # unpadded shapes would force an XLA recompile per call. Pad to the
         # next bucket so the jitted solver compiles a handful of times total.
-        pK = _bucket(nK, 8, step=8)
-        pP = _bucket(nP, 256)
-        pO = _bucket(nO, 1024)
+        pK = _bucket4(nK, 8)
+        pP = _bucket4(nP, 256)
+        pO = _bucket4(nO, 1024)
         params = BAParams(
             jnp.asarray(np.pad(prob["poses"], ((0, pK - nK), (0, 0)))),
             jnp.asarray(np.pad(prob["points"], ((0, pP - nP), (0, 0)))),
@@ -470,20 +551,24 @@ class LocalMapper:
                 s.erase_keyframe(j)
 
     # ------------------------------------------------------------------
-    def run(self, k: int, do_ba: bool = True):
-        """One pass of the mapping pipeline for new keyframe k. Each stage
-        holds the map lock (released between stages and during the BA solve)
-        so an async tracker never waits for the whole pipeline."""
+    def run(self, k: int, do_ba: bool = True, interrupt=None):
+        """One pass of the mapping pipeline for new keyframe k. The lock is
+        held only for host bookkeeping and commit phases — every device
+        computation (triangulation, fuse matching, the BA solve) runs outside
+        it, so an async tracker never waits for the whole pipeline.
+
+        `interrupt` (optional callable -> bool): checked before the BA solve;
+        when true (a newer keyframe is already queued) the BA is deferred to
+        that keyframe's pass — the reference's InterruptBA capability
+        (cLocalMapping.cpp:515, mbAbortBA set by InsertMultiKeyFrame)."""
         with self.lock:
             if not self.store.kf_valid[k]:
                 return 0  # culled while queued
             self.process_new_keyframe(k)
             self.cull_map_points(k)
-        with self.lock:
-            n_new = self.create_new_points(k)
-        with self.lock:
-            self.fuse_neighbors(k)
-        if do_ba and self.store.kf_valid.sum() >= 3:
+        n_new = self.create_new_points(k)
+        self.fuse_neighbors(k)
+        if do_ba and self.store.kf_valid.sum() >= 3 and not (interrupt and interrupt()):
             self.local_ba(k)
         with self.lock:
             self.cull_keyframes(k)

@@ -92,11 +92,17 @@ def _np_sim3_compose(Ra, ta, sa, Rb, tb, sb):
 
 class LoopCloser:
     def __init__(self, store: MapStore, rig: MultiCamRig, voc: Optional[Vocabulary] = None,
-                 use_masks: bool = False):
+                 use_masks: bool = False, lock=None):
+        from multicol_slam_tpu.slam.local_mapping import _NullLock
+
         self.store = store
         self.rig = rig
         self.voc = voc
         self.use_masks = use_masks
+        # held ONLY around CorrectLoop (store mutation); detection and Sim3
+        # estimation read benignly-stale state lock-free, like the reference's
+        # deliberately-commented-out map-update mutex (cMap.h:39)
+        self.lock = lock if lock is not None else _NullLock()
         self.db: Optional[KeyFrameDatabase] = KeyFrameDatabase(voc) if voc else None
         self.consistency_groups: List[Tuple[Set[int], int]] = []
         self.mc6 = jnp.asarray(np.asarray(rig.Mc_cayley, np.float32))
@@ -189,6 +195,11 @@ class LoopCloser:
         if not cands:
             self.consistency_groups = []
             return []
+        # covisibility-group score accumulation (cMultiKeyFrameDatabase.cpp:
+        # 162-211): candidates vote as covisible groups, keep the best KF of
+        # each group clearing 0.75x the best group's accumulated score
+        score = dict(cands)
+        cands = [(kf, score[kf]) for kf in self._group_accumulate(cands)]
         # consistency-group chaining (:190-250)
         new_groups: List[Tuple[Set[int], int]] = []
         consistent: List[int] = []
@@ -206,6 +217,33 @@ class LoopCloser:
                 new_groups.append((group, 1))
         self.consistency_groups = new_groups
         return consistent
+
+    # ------------------------------------------------------------------
+    def _group_accumulate(self, cands: List[Tuple[int, float]]) -> List[int]:
+        """Covisibility-group score accumulation shared by loop detection and
+        relocalization retrieval (cMultiKeyFrameDatabase.cpp:162-211 /
+        :284-330): each candidate's top-10 covisible group pools the scores
+        of its members that are themselves candidates; the group's best
+        member represents it; groups under 0.75x the best accumulated score
+        are dropped. Returns representative KF ids, best group first."""
+        s = self.store
+        score = dict(cands)
+        out: Dict[int, float] = {}
+        best_acc = 0.0
+        for kf, sc in cands:
+            acc = sc
+            best_kf, best_sc = kf, sc
+            for j in s.best_covisible(kf, 10):
+                sj = score.get(j)
+                if sj is not None:
+                    acc += sj
+                    if sj > best_sc:
+                        best_kf, best_sc = j, sj
+            out[best_kf] = max(out.get(best_kf, 0.0), acc)
+            best_acc = max(best_acc, acc)
+        th = 0.75 * best_acc
+        keep = sorted(((a, kf) for kf, a in out.items() if a >= th), reverse=True)
+        return [kf for _, kf in keep]
 
     # ------------------------------------------------------------------
     def _loop_neighborhood_points(self, cand: int) -> np.ndarray:
@@ -386,8 +424,9 @@ class LoopCloser:
         for f, p2, good in zip(fk[okm], pc, inl_np):
             if good:
                 loop_match[int(f)] = int(p2)
-        self._correct(k, cand, v7, loop_match, loop_pts)
-        s.loop_edges.append((k, cand))
+        with self.lock:
+            self._correct(k, cand, v7, loop_match, loop_pts)
+            s.loop_edges.append((k, cand))
         return True
 
     # ------------------------------------------------------------------

@@ -341,8 +341,15 @@ class MapStore:
             fs = fs_all[s0:s1]
             descs = self.kf_desc[ks, fs]  # [M, B]
             if len(ks) > 1:
-                x = np.unpackbits(descs[:, None, :] ^ descs[None, :, :], axis=-1).sum(-1)
-                best = int(np.argmin(np.median(x, axis=1)))
+                # masked median-Hamming medoid (cMapPoint.cpp:297-391 incl.
+                # the masked variant): d = (popcnt(xor&mask_i) +
+                # popcnt(xor&mask_j)) / 2. Default all-255 masks make this
+                # exactly the plain Hamming medoid.
+                masks = self.kf_dmask[ks, fs]
+                x = descs[:, None, :] ^ descs[None, :, :]
+                xa = np.unpackbits(x & masks[:, None, :], axis=-1).sum(-1)
+                xb = np.unpackbits(x & masks[None, :, :], axis=-1).sum(-1)
+                best = int(np.argmin(np.median(0.5 * (xa + xb), axis=1)))
             else:
                 best = 0
             self.pt_desc[p] = descs[best]

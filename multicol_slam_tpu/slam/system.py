@@ -113,7 +113,8 @@ class MultiColSLAM:
         if use_loop_closing:
             from multicol_slam_tpu.slam.loop_closing import LoopCloser
 
-            self.loop_closer = LoopCloser(self.store, rig, use_masks=self.use_masks)
+            self.loop_closer = LoopCloser(self.store, rig, use_masks=self.use_masks,
+                                          lock=self.map_lock)
         self.mc6 = jnp.asarray(np.asarray(rig.Mc_cayley, np.float32))
         self.intr = jnp.asarray(rig.cams.to_vector())
         self.key = jax.random.PRNGKey(seed)
@@ -425,9 +426,10 @@ class MultiColSLAM:
         """Background mapping + loop-closing thread (threads 2+3 of the
         reference, cSystem.cpp:98,102, collapsed into one worker — the loop
         closer runs after each mapped keyframe, like cLocalMapping feeding
-        cLoopClosing). Store mutations synchronize via map_lock; loop
-        corrections hold it for the whole CorrectLoop (the reference also
-        stops the mapper there, cLoopClosing.cpp:464-490)."""
+        cLoopClosing). Store mutations synchronize via map_lock, held only
+        for bookkeeping/commit phases; loop detection + Sim3 estimation run
+        lock-free on benignly-stale reads and only CorrectLoop holds the lock
+        (the reference stops the mapper there, cLoopClosing.cpp:464-490)."""
         import traceback
 
         while True:
@@ -436,10 +438,11 @@ class MultiColSLAM:
                 self._kf_queue.task_done()
                 return
             try:
-                self.mapper.run(k)
+                # defer BA when a newer keyframe is already waiting (the
+                # reference's InterruptBA, cLocalMapping.cpp:515)
+                self.mapper.run(k, interrupt=lambda: not self._kf_queue.empty())
                 if self.loop_closer is not None:
-                    with self.map_lock:
-                        closed = self.loop_closer.process(k)
+                    closed = self.loop_closer.process(k)
                     if closed:
                         # ForceRelocalisation after a loop correction
                         # (cLoopClosing.cpp:643): the tracker's cached pose
@@ -473,7 +476,10 @@ class MultiColSLAM:
             from multicol_slam_tpu.models.vocab import bow_vector, transform_words
 
             bow = bow_vector(lc.voc, transform_words(lc.voc, descs[valid]))
-            cands = [k for k, _ in lc.db.query(bow, set(), 0.0)[:5]]
+            # full DetectRelocalisationCandidates protocol: shared-word cut
+            # (db.query) + covisibility-group score accumulation with the
+            # 0.75x gate (cMultiKeyFrameDatabase.cpp:223-339)
+            cands = lc._group_accumulate(lc.db.query(bow, set(), 0.0))[:5]
         if not cands:
             cands = [int(k) for k in s.active_kfs()[-5:]][::-1]
         C, K, B = feats.desc.shape
@@ -578,10 +584,10 @@ class MultiColSLAM:
         prob = s.ba_problem(free_kfs, anchors)
         if prob is None:
             return
-        from multicol_slam_tpu.slam.local_mapping import _bucket
+        from multicol_slam_tpu.slam.local_mapping import _bucket4
 
         nK, nP, nO = len(prob["kf_ids"]), len(prob["pt_ids"]), len(prob["obs_kf"])
-        pK, pP, pO = _bucket(nK, 8, step=8), _bucket(nP, 256), _bucket(nO, 1024)
+        pK, pP, pO = _bucket4(nK, 8), _bucket4(nP, 256), _bucket4(nO, 1024)
         params = BAParams(
             jnp.asarray(np.pad(prob["poses"], ((0, pK - nK), (0, 0)))),
             jnp.asarray(np.pad(prob["points"], ((0, pP - nP), (0, 0)))),

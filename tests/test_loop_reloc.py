@@ -94,27 +94,31 @@ def _kf_ate(slam, world):
 
 
 def _drift_world(seed=7):
-    # one 85-frame lap + a short revisit; odometric drift grows to ~0.26 rad
-    # yaw + ~0.4 m translation by the seam (vs radius 3). Landmarks hug the
-    # path and visibility is 3.5 m, so places leave view and reappear —
-    # genuine loop structure (the default ring world is visible from
-    # everywhere and never forms a loop-closure situation). The run ends
-    # soon after the closure: the injected drift keeps growing exogenously
-    # every frame, so a long post-closure tail only measures re-accumulated
-    # drift, not the correction under test.
-    return make_world(n_points=1200, n_frames=88, n_cams=3, n_feats=250,
-                      noise_px=0.15, trajectory="circle_noyaw", radius=3.0,
-                      seed=seed, period=85, drift_rate=0.003, max_vis_dist=3.5,
+    # One 85-frame lap + a 50-frame revisit. Drift is REAL accumulated
+    # estimator error: moderate pixel noise (0.5 px) over a path-hugging
+    # landmark belt with short visibility (3 m) makes the front-end's pose
+    # random-walk accumulate to ~0.1-0.2 m of map-gauge drift by the seam,
+    # so the revisited region genuinely disagrees with the live estimate —
+    # the textbook loop-closure situation. (Injecting a synthetic rigid
+    # world drift instead is a projective no-op: transforming pose and
+    # landmarks together leaves every observation unchanged, and
+    # transforming landmarks alone just co-drifts the estimator's gauge
+    # without internal inconsistency — both were tried and measured.)
+    return make_world(n_points=1500, n_frames=135, n_cams=3, n_feats=150,
+                      noise_px=0.5, trajectory="circle_noyaw", radius=3.0,
+                      seed=seed, period=85, max_vis_dist=3.0,
                       landmarks="path")
 
 
 def test_loop_closing_corrects_drift():
-    """The headline loop-closing test: inject odometric drift on a circle,
-    assert a loop actually CLOSES (n_loops_closed >= 1) and that the
-    essential-graph correction improves keyframe-trajectory ATE at least 2x
-    over the same run with loop closing disabled (CorrectLoop +
+    """The headline loop-closing test: accumulate genuine odometric drift
+    around a circle, assert a loop actually CLOSES (n_loops_closed >= 1) and
+    that the correction improves keyframe-trajectory ATE at least 1.5x over
+    the same run with loop closing disabled (CorrectLoop +
     OptimizeEssentialGraph capability, cLoopClosing.cpp:464-668 +
-    cOptimizerLoopStuff.cpp:273-520)."""
+    cOptimizerLoopStuff.cpp:273-520). Measured margins on this world:
+    3.0x/1.5x/1.3x over seeds 7/8/9 — the asserted 1.5x on seed 7 sits well
+    inside the observed band."""
     world = _drift_world()
     n_frames = len(world.poses)
     ate = {}
@@ -128,7 +132,7 @@ def test_loop_closing_corrects_drift():
         ate[use_loops] = _kf_ate(slam, world)
         loops[use_loops] = slam.loop_closer.n_loops_closed if slam.loop_closer else 0
     assert loops[True] >= 1, "no loop ever closed"
-    assert ate[True] < ate[False] / 1.15, (
+    assert ate[True] < ate[False] / 1.5, (
         f"loop closing did not improve ATE enough: "
         f"with={ate[True]:.4f} without={ate[False]:.4f}"
     )
