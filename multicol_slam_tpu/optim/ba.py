@@ -72,6 +72,24 @@ def bundle_adjust(
 bundle_adjust_jit = jax.jit(bundle_adjust, static_argnames=("max_iters", "cg_iters"))
 
 
+def bundle_adjust_interruptible(
+    params: BAParams,
+    obs: Observations,
+    free: FreeMask,
+    max_iters: int = 15,
+    cg_iters: int = 20,
+    interrupt=None,
+    pre_step=None,
+) -> Tuple[BAParams, jnp.ndarray]:
+    """Local-BA variant driven one LM iteration per device program: abortable
+    between iterations (InterruptBA, cLocalMapping.cpp:515) and friendly to a
+    tracker sharing the device (see lm.lm_solve_interruptible)."""
+    from multicol_slam_tpu.optim.lm import lm_solve_interruptible
+
+    cfg = LMConfig(max_iters=max_iters, cg_iters=cg_iters, huber_delta=float(np.sqrt(CHI2_BA)))
+    return lm_solve_interruptible(params, obs, free, cfg, interrupt, pre_step)
+
+
 def prune_observations(params: BAParams, obs: Observations, chi2_th: float = CHI2_BA):
     """Post-BA outlier pruning (LocalBundleAdjustment's chi2 erase pass,
     cOptimizer.cpp:798-860). Returns updated valid mask."""

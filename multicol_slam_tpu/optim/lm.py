@@ -200,6 +200,37 @@ class LMState(NamedTuple):
     n_iters: jnp.ndarray
 
 
+def _lm_cost(params: BAParams, obs: Observations, config: LMConfig, axis_name=None):
+    r, z = residuals_only(params, obs)
+    c = robust_cost(r, z, obs, config.huber_delta)
+    return jax.lax.psum(c, axis_name) if axis_name is not None else c
+
+
+def _lm_step_body(state: LMState, obs: Observations, free: FreeMask,
+                  config: LMConfig, axis_name=None) -> LMState:
+    """One full LM iteration: Jacobians -> PCG solve -> gain-ratio accept."""
+    p = state.params
+    r, z, Jp, Jx, Jm, Ji = residuals_and_jacobians(p, obs)
+    w, _ = huber_weights(r, z, obs, config.huber_delta)
+    grad, blocks = _build_grad_and_blocks(p, obs, Jp, Jx, Jm, Ji, w, r, axis_name)
+    grad = _mask_params(grad, free)
+    Minv = tuple(_block_inv(B, state.lam) for B in blocks)
+    delta = _pcg(obs, Jp, Jx, Jm, Ji, w, state.lam, blocks, Minv, free, grad,
+                 config.cg_iters, axis_name)
+    delta = jax.tree.map(lambda x: jnp.where(jnp.isfinite(x), x, 0.0), delta)
+    new_params = jax.tree.map(lambda a, b: a + b, p, _mask_params(delta, free))
+    new_cost = _lm_cost(new_params, obs, config, axis_name)
+    actual = state.cost - new_cost
+    accept = (new_cost < state.cost)
+    gain = actual / jnp.maximum(jnp.abs(state.cost), 1e-12)
+    params_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), new_params, p)
+    cost_next = jnp.where(accept, new_cost, state.cost)
+    lam_next = jnp.where(accept, state.lam * config.lambda_down, state.lam * config.lambda_up)
+    lam_next = jnp.clip(lam_next, 1e-9, 1e6)
+    done = accept & (gain < config.gain_eps)
+    return LMState(params_next, lam_next, cost_next, done, state.n_iters + 1)
+
+
 def lm_solve(
     params: BAParams,
     obs: Observations,
@@ -209,38 +240,10 @@ def lm_solve(
 ) -> Tuple[BAParams, jnp.ndarray]:
     """Full LM loop (jit-compatible). Returns (params, final robust cost).
     Pass axis_name inside shard_map for multi-device BA (parallel/ba.py)."""
-
-    def cost_of(p):
-        r, z = residuals_only(p, obs)
-        c = robust_cost(r, z, obs, config.huber_delta)
-        return jax.lax.psum(c, axis_name) if axis_name is not None else c
-
-    def step(state: LMState) -> LMState:
-        p = state.params
-        r, z, Jp, Jx, Jm, Ji = residuals_and_jacobians(p, obs)
-        w, _ = huber_weights(r, z, obs, config.huber_delta)
-        grad, blocks = _build_grad_and_blocks(p, obs, Jp, Jx, Jm, Ji, w, r, axis_name)
-        grad = _mask_params(grad, free)
-        Minv = tuple(_block_inv(B, state.lam) for B in blocks)
-        delta = _pcg(obs, Jp, Jx, Jm, Ji, w, state.lam, blocks, Minv, free, grad,
-                     config.cg_iters, axis_name)
-        delta = jax.tree.map(lambda x: jnp.where(jnp.isfinite(x), x, 0.0), delta)
-        new_params = jax.tree.map(lambda a, b: a + b, p, _mask_params(delta, free))
-        new_cost = cost_of(new_params)
-        actual = state.cost - new_cost
-        accept = (new_cost < state.cost)
-        gain = actual / jnp.maximum(jnp.abs(state.cost), 1e-12)
-        params_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), new_params, p)
-        cost_next = jnp.where(accept, new_cost, state.cost)
-        lam_next = jnp.where(accept, state.lam * config.lambda_down, state.lam * config.lambda_up)
-        lam_next = jnp.clip(lam_next, 1e-9, 1e6)
-        done = accept & (gain < config.gain_eps)
-        return LMState(params_next, lam_next, cost_next, done, state.n_iters + 1)
-
     init = LMState(
         params,
         jnp.asarray(config.init_lambda),
-        cost_of(params),
+        _lm_cost(params, obs, config, axis_name),
         jnp.asarray(False),
         jnp.asarray(0),
     )
@@ -248,8 +251,56 @@ def lm_solve(
     def cond(s: LMState):
         return (~s.done) & (s.n_iters < config.max_iters)
 
-    out = jax.lax.while_loop(cond, step, init)
+    out = jax.lax.while_loop(cond, lambda s: _lm_step_body(s, obs, free, config, axis_name), init)
     return out.params, out.cost
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _lm_init_jit(params, obs, config: LMConfig):
+    return LMState(
+        params,
+        jnp.asarray(config.init_lambda),
+        _lm_cost(params, obs, config),
+        jnp.asarray(False),
+        jnp.asarray(0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _lm_step_jit(state: LMState, obs, free, config: LMConfig) -> LMState:
+    return _lm_step_body(state, obs, free, config)
+
+
+def lm_solve_interruptible(
+    params: BAParams,
+    obs: Observations,
+    free: FreeMask,
+    config: LMConfig = LMConfig(),
+    interrupt=None,
+    pre_step=None,
+) -> Tuple[BAParams, jnp.ndarray]:
+    """Host-driven LM: ONE device program per LM iteration instead of the
+    whole solve in a single lax.while_loop program.
+
+    Two reasons to prefer this for local BA on a live system: (a) it is the
+    reference's InterruptBA (cLocalMapping.cpp:515) — `interrupt()` is
+    checked between iterations and the best-so-far result is returned when a
+    newer keyframe preempts the solve; (b) with mapping on a worker thread
+    sharing ONE device with tracking, a monolithic multi-hundred-ms solve
+    head-of-line-blocks every tracking kernel behind it, while per-iteration
+    programs (~tens of ms) let tracking interleave. The `done` readback per
+    step doubles as the queue-depth limiter. `pre_step()` runs before each
+    dispatch (the tracker-priority yield gate)."""
+    state = _lm_init_jit(params, obs, config)
+    for _ in range(config.max_iters):
+        if pre_step is not None:
+            pre_step()
+        state = _lm_step_jit(state, obs, free, config)
+        if bool(state.done):
+            break
+        if interrupt is not None and interrupt():
+            break
+    return state.params, state.cost
 
 
 # ---------------------------------------------------------------------------

@@ -69,9 +69,13 @@ def _bucket4(n: int, minimum: int) -> int:
 
 class TriangulationOut(NamedTuple):
     X: jnp.ndarray        # [C*K, 3] new world points
-    feat1: jnp.ndarray    # [C*K] flat feature idx in KF1 (query)
+    feat1: jnp.ndarray    # [C*K] flat feature idx in KF1 (query) == arange(C*K)
     feat2: jnp.ndarray    # [C*K] flat feature idx in KF2
     ok: jnp.ndarray       # [C*K] bool
+    packed: jnp.ndarray = None  # [C*K, 5] f32: X(3), feat2, ok — ONE
+    #                             device->host readback per keyframe (each
+    #                             distinct-array fetch is a ~25 ms tunnel RPC;
+    #                             feat1 is deterministic, host reconstructs)
 
 
 @functools.partial(jax.jit, static_argnames=("epi_th", "th_desc", "ratio", "check_rotation", "use_masks"))
@@ -165,7 +169,41 @@ def triangulate_pair(
     fpc = K
     feat1 = (jnp.arange(C)[:, None] * fpc + jnp.arange(K)[None, :]).reshape(-1)
     feat2 = (jnp.arange(C)[:, None] * fpc + idx2).reshape(-1)
-    return TriangulationOut(X.reshape(-1, 3), feat1, feat2, ok.reshape(-1))
+    Xf = X.reshape(-1, 3)
+    okf = ok.reshape(-1)
+    packed = jnp.concatenate(
+        [Xf, feat2[:, None].astype(jnp.float32), okf[:, None].astype(jnp.float32)],
+        axis=-1,
+    )
+    return TriangulationOut(Xf, feat1, feat2, okf, packed)
+
+
+@functools.partial(jax.jit, static_argnames=("epi_th", "th_desc", "ratio", "check_rotation", "use_masks"))
+def triangulate_pairs(
+    mc6, pose1, poses2, uv1, rays1, desc1, free1,
+    uv2s, rays2s, desc2s, free2s, intr,
+    epi_th: float = 1e-2, th_desc: float = 64.0, ratio: float = 0.8,
+    ang1=None, ang2s=None, dmask1=None, dmask2s=None,
+    check_rotation: bool = False, use_masks: bool = False,
+) -> TriangulationOut:
+    """Every neighbor pair of CreateNewMapPoints in ONE device program (vmap
+    over the neighbor axis). One launch per keyframe instead of one per
+    neighbor: with mapping on a background worker sharing the single device
+    with tracking, per-call dispatch + head-of-line blocking dominated the
+    stage cost. Disabled/padding pairs pass all-False free2s."""
+
+    def one(pose2, uv2, rays2, desc2, free2, ang2, dmask2):
+        return triangulate_pair(
+            mc6, pose1, pose2, uv1, rays1, desc1, free1,
+            uv2, rays2, desc2, free2, intr, epi_th, th_desc, ratio,
+            ang1, ang2, dmask1, dmask2, check_rotation, use_masks,
+        )
+
+    if use_masks and dmask2s is not None:
+        return jax.vmap(one)(poses2, uv2s, rays2s, desc2s, free2s, ang2s, dmask2s)
+    return jax.vmap(lambda p, u, r, d, f, a: one(p, u, r, d, f, a, None))(
+        poses2, uv2s, rays2s, desc2s, free2s, ang2s
+    )
 
 
 class _NullLock:
@@ -199,6 +237,14 @@ class LocalMapper:
         # mdBRIEF stability-mask matching (thresholds x0.5, cORBmatcher.cpp:46-65)
         self.use_masks = use_masks
         self.lock = lock if lock is not None else _NullLock()
+        # optional tracker-priority gate: called before every device dispatch
+        # when mapping runs on a worker sharing the chip with tracking
+        # (MultiColSLAM._yield_to_tracker); None in the sequential pipeline
+        self.yield_gate = None
+
+    def _yield(self):
+        if self.yield_gate is not None:
+            self.yield_gate()
 
     # ------------------------------------------------------------------
     def process_new_keyframe(self, k: int):
@@ -273,36 +319,46 @@ class LocalMapper:
             desc1_np = s.kf_desc[k].reshape(C, K, -1).copy()
             ang1_np = s.kf_angle[k].reshape(C, K).copy()
             dmask1_np = s.kf_dmask[k].reshape(C, K, -1).copy() if self.use_masks else None
-        # ---- phase 2: triangulate (no lock) -------------------------------
-        pose1 = jnp.asarray(pose1_np)
-        uv1 = jnp.asarray(uv1_np)
-        rays1 = jnp.asarray(rays1_np)
-        desc1 = jnp.asarray(desc1_np)
-        ang1 = jnp.asarray(ang1_np)
-        free1 = jnp.asarray(free1_np)
-        dmask1 = jnp.asarray(dmask1_np) if self.use_masks else None
-        results = []
-        for j, pose2, uv2, rays2, desc2, free2, ang2, dmask2 in pairs:
-            out = triangulate_pair(
-                self.mc6,
-                pose1,
-                jnp.asarray(pose2),
-                uv1, rays1, desc1, free1,
-                jnp.asarray(uv2), jnp.asarray(rays2), jnp.asarray(desc2),
-                jnp.asarray(free2),
-                self.intr,
-                th_desc=th,
-                ang1=ang1,
-                ang2=jnp.asarray(ang2),
-                dmask1=dmask1,
-                dmask2=jnp.asarray(dmask2) if self.use_masks else None,
-                check_rotation=True,
-                use_masks=self.use_masks,
-            )
-            results.append((j, out))
+        # ---- phase 2: triangulate ALL pairs in one launch (no lock) -------
+        B = s.cfg.desc_bytes
+        Jp = n_neighbors  # fixed batch: one compiled shape
+        poses2 = np.zeros((Jp, 6), np.float32)
+        uv2s = np.zeros((Jp, C, K, 2), np.float32)
+        rays2s = np.zeros((Jp, C, K, 3), np.float32)
+        desc2s = np.zeros((Jp, C, K, B), np.uint8)
+        free2s = np.zeros((Jp, C, K), bool)
+        ang2s = np.zeros((Jp, C, K), np.float32)
+        dmask2s = np.full((Jp, C, K, B), 255, np.uint8) if self.use_masks else None
+        for i, (j, pose2, uv2, rays2, desc2, free2, ang2, dmask2) in enumerate(pairs):
+            poses2[i] = pose2
+            uv2s[i] = uv2
+            rays2s[i] = rays2
+            desc2s[i] = desc2
+            free2s[i] = free2
+            ang2s[i] = ang2
+            if self.use_masks:
+                dmask2s[i] = dmask2
+        self._yield()
+        out = triangulate_pairs(
+            self.mc6, jnp.asarray(pose1_np), jnp.asarray(poses2),
+            jnp.asarray(uv1_np), jnp.asarray(rays1_np), jnp.asarray(desc1_np),
+            jnp.asarray(free1_np),
+            jnp.asarray(uv2s), jnp.asarray(rays2s), jnp.asarray(desc2s),
+            jnp.asarray(free2s), self.intr,
+            th_desc=th,
+            ang1=jnp.asarray(ang1_np), ang2s=jnp.asarray(ang2s),
+            dmask1=jnp.asarray(dmask1_np) if self.use_masks else None,
+            dmask2s=jnp.asarray(dmask2s) if self.use_masks else None,
+            check_rotation=True,
+            use_masks=self.use_masks,
+        )
+        packed = np.asarray(out.packed)            # ONE readback: [Jp, CK, 5]
+        Xs = packed[..., :3]
+        f2s = packed[..., 3].astype(np.int64)
+        oks = packed[..., 4] > 0.5
+        f1_const = np.arange(C * K)
         results = [
-            (j, np.asarray(o.ok), np.asarray(o.X), np.asarray(o.feat1), np.asarray(o.feat2))
-            for j, o in results
+            (pairs[i][0], oks[i], Xs[i], f1_const, f2s[i]) for i in range(len(pairs))
         ]
         # ---- phase 3: commit (lock) ---------------------------------------
         created = 0
@@ -400,25 +456,64 @@ class LocalMapper:
                     s.kf_dmask[j].reshape(C, K, -1).copy(),
                     s.kf_feat_valid[j].reshape(C, K).copy(),
                 ))
-        # ---- phase 2: match (no lock) -------------------------------------
-        matches = []
-        for j, pose, uv, octv, ang, rays, desc, dmask, fvalid in tsnap:
-            fj = FrameFeatures(
-                uv=jnp.asarray(uv),
-                response=jnp.zeros((C, K)),
-                octave=jnp.asarray(octv),
-                angle=jnp.asarray(ang),
-                rays=jnp.asarray(rays),
-                desc=jnp.asarray(desc),
-                dmask=jnp.asarray(dmask),
-                valid=jnp.asarray(fvalid),
-            )
-            assign, dist, keep = fuse_match(
-                self.mc6, self.intr, self.rig.cams, fj, jnp.asarray(pose), lp, radius,
-                use_masks=self.use_masks,
-            )
-            matches.append((j, assign, keep))
-        matches = [(j, np.asarray(a), np.asarray(kp)) for j, a, kp in matches]
+        # ---- phase 2: match ALL targets in one launch (no lock) -----------
+        # Each target keyframe's body pose folds into effective per-camera
+        # extrinsics Mc' = Mt_j . Mc_c with an identity body pose, so J
+        # keyframes x C cameras become one (J*C)-camera rig and the whole
+        # SearchInNeighbors fuse pass is a single kernel launch (grid = J*C x
+        # tiles) instead of J dispatches racing tracking for the device.
+        J = len(tsnap)
+        Jp = _bucket(J, 4)
+        B = s.cfg.desc_bytes
+        Mc_np = np.asarray(self.rig.Mc, np.float64)                   # [C,4,4]
+        mc_eff = np.zeros((Jp * C, 6), np.float32)
+        uv_a = np.zeros((Jp * C, K, 2), np.float32)
+        oct_a = np.zeros((Jp * C, K), np.int32)
+        ang_a = np.zeros((Jp * C, K), np.float32)
+        rays_a = np.zeros((Jp * C, K, 3), np.float32)
+        desc_a = np.zeros((Jp * C, K, B), np.uint8)
+        dmask_a = np.full((Jp * C, K, B), 255, np.uint8)
+        valid_a = np.zeros((Jp * C, K), bool)
+        from multicol_slam_tpu.slam.map_store import cayley_to_hom_np, hom_to_cayley_np
+
+        for i, (j, pose, uv, octv, ang, rays, desc, dmask, fvalid) in enumerate(tsnap):
+            Mt = cayley_to_hom_np(pose)
+            mc_eff[i * C:(i + 1) * C] = hom_to_cayley_np(Mt[None] @ Mc_np)
+            uv_a[i * C:(i + 1) * C] = uv
+            oct_a[i * C:(i + 1) * C] = octv
+            ang_a[i * C:(i + 1) * C] = ang
+            rays_a[i * C:(i + 1) * C] = rays
+            desc_a[i * C:(i + 1) * C] = desc
+            dmask_a[i * C:(i + 1) * C] = dmask
+            valid_a[i * C:(i + 1) * C] = fvalid
+        cams_t = jax.tree_util.tree_map(
+            lambda a: jnp.tile(a, (Jp,) + (1,) * (a.ndim - 1)), self.rig.cams
+        )
+        feats_all = FrameFeatures(
+            uv=jnp.asarray(uv_a),
+            response=jnp.zeros((Jp * C, K)),
+            octave=jnp.asarray(oct_a),
+            angle=jnp.asarray(ang_a),
+            rays=jnp.asarray(rays_a),
+            desc=jnp.asarray(desc_a),
+            dmask=jnp.asarray(dmask_a),
+            valid=jnp.asarray(valid_a),
+        )
+        self._yield()
+        _, _, _, packed = fuse_match(
+            jnp.asarray(mc_eff), jnp.tile(self.intr, (Jp, 1)), cams_t,
+            feats_all, jnp.zeros(6, jnp.float32), lp, radius,
+            use_masks=self.use_masks,
+        )
+        packed = np.asarray(packed)                 # ONE readback: [3, Jp*C*K]
+        assign_all = packed[0].astype(np.int64).reshape(Jp * C, K)
+        keep_all = (packed[2] > 0.5).reshape(Jp * C, K)
+        matches = [
+            (tsnap[i][0],
+             assign_all[i * C:(i + 1) * C].reshape(-1),
+             keep_all[i * C:(i + 1) * C].reshape(-1))
+            for i in range(J)
+        ]
         # ---- phase 3: commit (lock) ---------------------------------------
         fused = 0
         touched: List[int] = []
@@ -447,16 +542,20 @@ class LocalMapper:
         return fused
 
     # ------------------------------------------------------------------
-    def local_ba(self, k: int, max_iters: int = 20):
+    def local_ba(self, k: int, max_iters: int = 10, interrupt=None):
         """LocalBundleAdjustment (cOptimizer.cpp:489-909): free = covisible
         neighborhood of k, anchors = other KFs observing the local points.
         The problem gather and write-back hold the map lock; the LM solve —
-        the dominant cost — runs outside it so async tracking proceeds."""
+        the dominant cost — runs outside it so async tracking proceeds, one
+        LM iteration per device program so it can be preempted by a newer
+        keyframe mid-solve and never head-of-line-blocks tracking kernels
+        (the reference runs 5 abortable iterations, cLocalMapping.cpp:~500;
+        our 10 with gain early-stop brackets that)."""
         with self.lock:
             prob = self._gather_local_ba(k)
         if prob is None:
             return
-        out, obs, nK, nP, nO = self._solve_ba(prob, max_iters)
+        out, obs, nK, nP, nO = self._solve_ba(prob, max_iters, interrupt)
         with self.lock:
             self._writeback_ba(prob, out, obs, nK, nP, nO)
 
@@ -483,7 +582,7 @@ class LocalMapper:
             anchors.append(oldest)
         return s.ba_problem(np.asarray(local), np.asarray(anchors, np.int64))
 
-    def _solve_ba(self, prob, max_iters: int):
+    def _solve_ba(self, prob, max_iters: int, interrupt=None):
         nK = len(prob["kf_ids"])
         nP = len(prob["pt_ids"])
         nO = len(prob["obs_kf"])
@@ -511,7 +610,11 @@ class LocalMapper:
             poses=jnp.asarray(np.arange(pK) < prob["n_free_kf"]),
             points=jnp.asarray(np.arange(pP) < nP),
         )
-        out, _ = bundle_adjust_jit(params, obs, free, max_iters=max_iters, cg_iters=40)
+        from multicol_slam_tpu.optim.ba import bundle_adjust_interruptible
+
+        out, _ = bundle_adjust_interruptible(params, obs, free, max_iters=max_iters,
+                                             cg_iters=24, interrupt=interrupt,
+                                             pre_step=self._yield)
         return out, obs, nK, nP, nO
 
     def _writeback_ba(self, prob, out, obs, nK, nP, nO):
@@ -569,7 +672,7 @@ class LocalMapper:
         n_new = self.create_new_points(k)
         self.fuse_neighbors(k)
         if do_ba and self.store.kf_valid.sum() >= 3 and not (interrupt and interrupt()):
-            self.local_ba(k)
+            self.local_ba(k, interrupt=interrupt)
         with self.lock:
             self.cull_keyframes(k)
         return n_new
@@ -577,10 +680,15 @@ class LocalMapper:
 
 @functools.partial(jax.jit, static_argnames=("radius", "use_masks"))
 def fuse_match(mc6, intr, cams, feats, pose, pts, radius: float = 3.0, use_masks: bool = False):
+    """Returns (assign, dist, keep, packed) — packed = [3, C*K] f32 stacking
+    the three so callers pay ONE device->host readback (~25 ms tunnel RPC
+    each) instead of three."""
     from multicol_slam_tpu.slam.tracking_kernels import project_and_match
 
     # TH_LOW = 2*descBytes, x0.5 when masks are active (cORBmatcher.cpp:46-65)
     th = (1.0 if use_masks else 2.0) * pts.desc.shape[-1]
-    return project_and_match(
+    assign, dist, keep = project_and_match(
         mc6, intr, cams, feats, pose, pts, radius=radius, th_desc=th, use_masks=use_masks
     )
+    packed = jnp.stack([assign.astype(jnp.float32), dist, keep.astype(jnp.float32)])
+    return assign, dist, keep, packed

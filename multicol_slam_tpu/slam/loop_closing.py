@@ -103,6 +103,8 @@ class LoopCloser:
         # estimation read benignly-stale state lock-free, like the reference's
         # deliberately-commented-out map-update mutex (cMap.h:39)
         self.lock = lock if lock is not None else _NullLock()
+        # tracker-priority gate before device dispatches (see LocalMapper)
+        self.yield_gate = None
         self.db: Optional[KeyFrameDatabase] = KeyFrameDatabase(voc) if voc else None
         self.consistency_groups: List[Tuple[Set[int], int]] = []
         self.mc6 = jnp.asarray(np.asarray(rig.Mc_cayley, np.float32))
@@ -287,12 +289,16 @@ class LoopCloser:
         )
         from multicol_slam_tpu.slam.local_mapping import fuse_match
 
-        assign, dist, keep = fuse_match(
+        # NB: no yield-gate here — _search_and_fuse calls this while HOLDING
+        # the map lock (the tracker is blocked on that lock anyway, so a
+        # bounded wait would only burn the full timeout each call)
+        _, _, _, packed = fuse_match(
             self.mc6, self.intr, self.rig.cams, fk,
             jnp.asarray(pose6_corr, jnp.float32), lp, radius,
         )
-        assign = np.asarray(assign)
-        keep = np.asarray(keep) & (np.asarray(dist) <= th_desc)
+        packed = np.asarray(packed)                 # ONE readback: [3, C*K]
+        assign = packed[0].astype(np.int64)
+        keep = (packed[2] > 0.5) & (packed[1] <= th_desc)
         out = np.full(s.cfg.feats_per_kf, -1, np.int64)
         out[keep] = assign[keep]
         out[out >= len(pts)] = -1  # padded slots
@@ -303,6 +309,8 @@ class LoopCloser:
         """ComputeSim3 (cLoopClosing.cpp:261-461) + CorrectLoop for one
         candidate."""
         s = self.store
+        if self.yield_gate is not None:
+            self.yield_gate()
         # --- match map-pointed features between the two KFs (SearchByBoW
         # capability via dense Hamming — 1.2k x 1.2k is one MXU tile) -------
         fk = np.nonzero(s.kf_point[k] >= 0)[0]

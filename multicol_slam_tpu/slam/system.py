@@ -136,11 +136,23 @@ class MultiColSLAM:
         self._force_reloc = False
         self._kf_queue = None
         self._worker = None
+        self._frame_idle = None
         if async_mapping:
             import queue
             import threading
 
             self._kf_queue = queue.Queue()
+            # cooperative device scheduling: the worker defers its next device
+            # dispatch while a tracked frame is in flight (tracking owns the
+            # chip during a frame; mapping fills the idle gaps of the real-
+            # time frame period — the single-accelerator analogue of the
+            # reference's OS-preemptible threads). Bounded wait: a saturated
+            # tracker can never starve mapping.
+            self._frame_idle = threading.Event()
+            self._frame_idle.set()
+            self.mapper.yield_gate = self._yield_to_tracker
+            if self.loop_closer is not None:
+                self.loop_closer.yield_gate = self._yield_to_tracker
             self._worker = threading.Thread(target=self._mapping_worker, daemon=True)
             self._worker.start()
         # set by checkpoint resume (--load-map): disables the small-map
@@ -153,28 +165,41 @@ class MultiColSLAM:
         Accepts raw images [C, H, W] or precomputed FrameFeatures (the test
         oracle path)."""
         t0 = time.perf_counter()
-        self.frame_id += 1
-        if feats is None:
-            feats = extract_features_jit(
-                jnp.asarray(images, jnp.float32), self.rig.cams, self.settings.extractor
-            )
-        m = FrameMetrics(self.frame_id, timestamp, self.state, self.last_pose.copy())
-        if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
-            if int(np.asarray(feats.valid).sum()) > MIN_INIT_KPS:
-                self.ref_feats = feats
-                self.state = INITIALIZING
-            else:
-                self.state = NOT_INITIALIZED
-        elif self.state == INITIALIZING:
-            self._try_initialize(feats, timestamp)
-        elif self.state in (WORKING, LOST):
-            self._track_frame(feats, timestamp, m)
-        self.last_feats = feats
-        m.state = self.state
-        m.pose = self.last_pose.copy()
-        m.track_ms = (time.perf_counter() - t0) * 1e3
-        self.trajectory.append(m)
-        return m
+        if self._frame_idle is not None:
+            self._frame_idle.clear()
+        try:
+            self.frame_id += 1
+            if feats is None:
+                feats = extract_features_jit(
+                    jnp.asarray(images, jnp.float32), self.rig.cams, self.settings.extractor
+                )
+            m = FrameMetrics(self.frame_id, timestamp, self.state, self.last_pose.copy())
+            if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+                if int(np.asarray(feats.valid).sum()) > MIN_INIT_KPS:
+                    self.ref_feats = feats
+                    self.state = INITIALIZING
+                else:
+                    self.state = NOT_INITIALIZED
+            elif self.state == INITIALIZING:
+                self._try_initialize(feats, timestamp)
+            elif self.state in (WORKING, LOST):
+                self._track_frame(feats, timestamp, m)
+            self.last_feats = feats
+            m.state = self.state
+            m.pose = self.last_pose.copy()
+            m.track_ms = (time.perf_counter() - t0) * 1e3
+            self.trajectory.append(m)
+            return m
+        finally:
+            if self._frame_idle is not None:
+                self._frame_idle.set()
+
+    def _yield_to_tracker(self):
+        """Called by the mapping worker before each device dispatch: wait
+        (bounded) for the in-flight tracked frame to finish so tracking
+        kernels never queue behind mapping programs on the shared chip."""
+        if self._frame_idle is not None:
+            self._frame_idle.wait(timeout=0.05)
 
     # ------------------------------------------------------------------
     def _try_initialize(self, feats, timestamp):
@@ -293,8 +318,9 @@ class MultiColSLAM:
                 jnp.asarray(pose_pred, jnp.float32), lp,
                 scale_factor=sf, n_levels=nl, radius=15.0, th_desc=self.th_track, use_masks=self.use_masks,
             )
-            if int(out.n_inliers) >= MIN_POSE_INLIERS:
-                pose1 = np.asarray(out.pose)
+            pose_f, _, n1, _, _ = out.fetch()   # ONE readback for the stage
+            if n1 >= MIN_POSE_INLIERS:
+                pose1 = pose_f
                 ok_stage1 = True
             else:
                 # fallback: wider window from the unadvanced pose
@@ -304,8 +330,9 @@ class MultiColSLAM:
                     jnp.asarray(self.last_pose, jnp.float32), lp,
                     scale_factor=sf, n_levels=nl, radius=50.0, th_desc=self.th_track, use_masks=self.use_masks,
                 )
-                if int(out.n_inliers) >= MIN_POSE_INLIERS:
-                    pose1 = np.asarray(out.pose)
+                pose_f, _, n1, _, _ = out.fetch()
+                if n1 >= MIN_POSE_INLIERS:
+                    pose1 = pose_f
                     ok_stage1 = True
         # ---- stage 2: track the local map ---------------------------------
         local_pts = self._local_map_points(pt_ids)
@@ -318,18 +345,16 @@ class MultiColSLAM:
                 jnp.asarray(pose1, jnp.float32), lp2,
                 scale_factor=sf, n_levels=nl, radius=4.0, th_desc=self.th_track, use_masks=self.use_masks,
             )
-            n_inl = int(out2.n_inliers)
+            pose_f2, n_match2, n_inl, assign, inl = out2.fetch()
             if n_inl >= MIN_TRACK_INLIERS:
-                self._finish_frame(np.asarray(out2.pose))
-                assign = np.asarray(out2.assign)
-                inl = np.asarray(out2.inlier)
+                self._finish_frame(pose_f2)
                 matched = (assign >= 0) & inl
                 assign_global[matched] = pt_ids2[assign[matched]]
                 # visibility bookkeeping (mnVisible/mnFound)
                 with self.map_lock:
                     s.pt_visible[pt_ids2] += 1
                     s.pt_found[np.unique(assign_global[assign_global >= 0])] += 1
-                m.n_matches = int(out2.n_matches)
+                m.n_matches = n_match2
                 m.n_inliers = n_inl
                 self.state = WORKING
             else:
@@ -560,16 +585,15 @@ class MultiColSLAM:
                 n_levels=self.settings.extractor.n_levels,
                 radius=8.0, th_desc=self.th_track, use_masks=self.use_masks,
             )
-            if int(out.n_inliers) >= 10:
-                self.last_pose = np.asarray(out.pose)
+            pose_f, _, n_ok, assign, inl = out.fetch()
+            if n_ok >= 10:
+                self.last_pose = pose_f
                 self.velocity = np.eye(4, dtype=np.float32)
-                assign = np.asarray(out.assign)
-                inl = np.asarray(out.inlier)
                 ag = np.full(s.cfg.feats_per_kf, BAD_ID, np.int32)
                 matched = (assign >= 0) & inl
                 ag[matched] = pt_ids2[assign[matched]]
                 self.last_assign_global = ag
-                m.n_inliers = int(out.n_inliers)
+                m.n_inliers = n_ok
                 return True
         return False
 

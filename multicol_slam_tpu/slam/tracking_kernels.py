@@ -49,6 +49,26 @@ class TrackStageOut(NamedTuple):
     inlier: jnp.ndarray        # [C*K] bool (survived pose-opt chi2)
     n_matches: jnp.ndarray     # scalar
     n_inliers: jnp.ndarray     # scalar
+    packed: jnp.ndarray = None # [8 + 2*C*K] f32: pose(6), n_matches,
+    #                            n_inliers, assign, inlier — ONE array so the
+    #                            host fetches a stage's whole result in ONE
+    #                            device->host transfer (each distinct-array
+    #                            readback costs a full ~25 ms RPC round trip
+    #                            on a tunneled device; per-frame latency is
+    #                            readback-count-bound, not compute-bound)
+
+    def fetch(self):
+        """One-readback host view: (pose f32[6], n_matches, n_inliers,
+        assign i32[C*K], inlier bool[C*K])."""
+        p = np.asarray(self.packed)
+        ck = (len(p) - 8) // 2
+        return (
+            p[:6],
+            int(p[6]),
+            int(p[7]),
+            p[8:8 + ck].astype(np.int32),
+            p[8 + ck:8 + 2 * ck] > 0.5,
+        )
 
 
 def project_rig(mc6, intr, pose6, X):
@@ -218,7 +238,68 @@ def track_stage(
     )
     params = BAParams(pose0[None], pts.X, mc6, intr)
     poses_out, inl, n_inl = pose_optimization(params, obs)
-    return TrackStageOut(poses_out[0], assign, inl, n_matches, n_inl)
+    packed = jnp.concatenate([
+        poses_out[0],
+        jnp.stack([n_matches, n_inl]).astype(jnp.float32),
+        assign.astype(jnp.float32),
+        inl.astype(jnp.float32),
+    ])
+    return TrackStageOut(poses_out[0], assign, inl, n_matches, n_inl, packed)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "radius1", "radius2", "th_desc", "level_tol", "scale_factor", "n_levels",
+    "min_pose_inliers", "use_masks"))
+def track_frame_fused(
+    mc6: jnp.ndarray,
+    intr: jnp.ndarray,
+    cams,
+    feats,
+    pose_pred: jnp.ndarray,
+    pts1: LocalPoints,         # motion-model stage candidates (last frame's points)
+    pts2: LocalPoints,         # local-map stage candidates
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    radius1: float = 15.0,
+    radius2: float = 4.0,
+    th_desc: float = 96.0,
+    level_tol: int = 1,
+    min_pose_inliers: int = 6,
+    use_masks: bool = False,
+) -> jnp.ndarray:
+    """BOTH tracking stages in ONE device program: motion-model stage, then
+    the local-map stage starting from stage 1's pose when it found enough
+    inliers (else from the prediction). On a tunneled accelerator every
+    program dispatch + every readback is a ~25 ms RPC round trip, so the
+    per-frame hot path is round-trip-bound: one fused program + one packed
+    fetch ~halves frame latency vs two chained stages. This IS the
+    'one fused tracking program per frame' target of SURVEY.md §7.
+
+    Returns packed f32 [7 + (8 + 2*C*K)]: stage-1 pose(6) + n_inliers(1),
+    then stage 2's TrackStageOut.packed. The wide-window fallback
+    (TrackPreviousFrame) stays a host-driven rare path."""
+    o1 = track_stage(mc6, intr, cams, feats, pose_pred, pts1,
+                     scale_factor, n_levels, radius1, th_desc, level_tol, use_masks)
+    ok1 = o1.n_inliers >= min_pose_inliers
+    pose1 = jnp.where(ok1, o1.pose, pose_pred)
+    o2 = track_stage(mc6, intr, cams, feats, pose1, pts2,
+                     scale_factor, n_levels, radius2, th_desc, level_tol, use_masks)
+    return jnp.concatenate([
+        o1.pose, o1.n_inliers[None].astype(jnp.float32), o2.packed,
+    ])
+
+
+def unpack_fused(packed_np: np.ndarray):
+    """Host side of track_frame_fused: (pose1, n1, pose2, n_match2, n_inl2,
+    assign2, inlier2)."""
+    pose1 = packed_np[:6]
+    n1 = int(packed_np[6])
+    p = packed_np[7:]
+    ck = (len(p) - 8) // 2
+    return (
+        pose1, n1, p[:6], int(p[6]), int(p[7]),
+        p[8:8 + ck].astype(np.int32), p[8 + ck:8 + 2 * ck] > 0.5,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "th_desc", "ratio", "check_rotation", "use_masks"))
