@@ -289,9 +289,8 @@ class LoopCloser:
         )
         from multicol_slam_tpu.slam.local_mapping import fuse_match
 
-        # NB: no yield-gate here — _search_and_fuse calls this while HOLDING
-        # the map lock (the tracker is blocked on that lock anyway, so a
-        # bounded wait would only burn the full timeout each call)
+        # callers dispatch this WITHOUT the map lock held (snapshot->device->
+        # commit discipline); the fuse loop in _correct yield-gates per KF
         _, _, _, packed = fuse_match(
             self.mc6, self.intr, self.rig.cams, fk,
             jnp.asarray(pose6_corr, jnp.float32), lp, radius,
@@ -432,9 +431,7 @@ class LoopCloser:
         for f, p2, good in zip(fk[okm], pc, inl_np):
             if good:
                 loop_match[int(f)] = int(p2)
-        with self.lock:
-            self._correct(k, cand, v7, loop_match, loop_pts)
-            s.loop_edges.append((k, cand))
+        self._correct(k, cand, v7, loop_match, loop_pts)
         return True
 
     # ------------------------------------------------------------------
@@ -442,7 +439,44 @@ class LoopCloser:
                  loop_match: Dict[int, int], loop_pts: np.ndarray):
         """CorrectLoop (cLoopClosing.cpp:464-668): S_kc maps cand-body points
         into current-body. Corrected world->body of current:
-        S_bw(k)_corr = S_kc o T_bw(cand)."""
+        S_bw(k)_corr = S_kc o T_bw(cand).
+
+        Lock discipline (snapshot->device->commit, same shape as
+        local_mapping.create_new_points): the pose/point propagation and
+        duplicate replacement are pure-numpy phases under the map lock; the
+        SearchAndFuse projection programs dispatch with the lock RELEASED
+        (the reference only stops the *mapper* during CorrectLoop — tracking
+        keeps running, cLoopClosing.cpp:464-490); the fuse results and the
+        essential-graph solve then commit under the lock."""
+        s = self.store
+        with self.lock:
+            corrected, snapshot, remapped, remap_ref = self._propagate_correction(
+                k, cand, v7_kc, loop_match)
+        # --- SearchAndFuse device phase, lock-free (cLoopClosing.cpp:670-745):
+        # project the loop points into every corrected-group KF from its
+        # already-corrected pose; descriptor tables are append-only so the
+        # benignly-stale read discipline of detection applies here too
+        loop_pts_v = loop_pts[s.pt_valid[loop_pts]]
+        fuse_assign: Dict[int, np.ndarray] = {}
+        for j in corrected:
+            if not s.kf_valid[j] or len(loop_pts_v) == 0:
+                continue
+            if self.yield_gate is not None:
+                self.yield_gate()
+            fuse_assign[j] = self._project_loop_points(
+                j, s.kf_pose[j], loop_pts_v, radius=6.0)
+        with self.lock:
+            self._commit_fuse(fuse_assign, loop_pts_v)
+            s.update_point_stats_many(np.asarray(sorted(remapped), np.int64))
+            # --- essential-graph optimization over all keyframes -----------
+            self._essential_graph(k, cand, corrected, snapshot, remap_ref)
+            s.loop_edges.append((k, cand))
+
+    def _propagate_correction(self, k: int, cand: int, v7_kc: np.ndarray,
+                              loop_match: Dict[int, int]):
+        """Lock-held numpy phase of CorrectLoop: snapshot poses, propagate the
+        corrected Sim3 through the covisible group, re-map their points, and
+        replace current-KF duplicates with their loop points."""
         s = self.store
         # ---- snapshot ALL poses BEFORE any mutation: the essential graph's
         # chain/covisibility measurements must come from the pre-correction
@@ -504,29 +538,19 @@ class LoopCloser:
                 s.replace_point(existing, p_loop)
             else:
                 s.add_observation(k, int(f), p_loop)
-        # --- SearchAndFuse (cLoopClosing.cpp:670-745): project the loop
-        # points into every corrected-group KF and fuse duplicates — the
-        # map deduplication that welds the two ends of the loop together ----
-        self._search_and_fuse(corrected, loop_pts)
-        s.update_point_stats_many(np.asarray(sorted(remapped), np.int64))
-        # --- essential-graph optimization over all keyframes ---------------
-        self._essential_graph(k, cand, corrected, snapshot, remap_ref)
+        return corrected, snapshot, remapped, remap_ref
 
     # ------------------------------------------------------------------
-    def _search_and_fuse(self, corrected: Dict[int, Tuple], loop_pts: np.ndarray):
-        """Project loop-neighborhood points into each corrected KF and fuse:
-        existing conflicting points are REPLACED by the loop point (the
-        reference's SearchAndFuse uses Fuse with replace-toward-loop
-        semantics, cLoopClosing.cpp:670-745)."""
+    def _commit_fuse(self, fuse_assign: Dict[int, np.ndarray], loop_pts: np.ndarray):
+        """Lock-held commit of the SearchAndFuse matches: existing conflicting
+        points are REPLACED by the loop point (the reference's SearchAndFuse
+        uses Fuse with replace-toward-loop semantics, cLoopClosing.cpp:
+        670-745)."""
         s = self.store
-        loop_pts = loop_pts[s.pt_valid[loop_pts]]
-        if len(loop_pts) == 0:
-            return
         touched: List[int] = []
-        for j in corrected:
+        for j, assign in fuse_assign.items():
             if not s.kf_valid[j]:
                 continue
-            assign = self._project_loop_points(j, s.kf_pose[j], loop_pts, radius=6.0)
             for f in np.nonzero(assign >= 0)[0]:
                 p_loop = int(loop_pts[assign[f]])
                 if not s.pt_valid[p_loop]:
@@ -558,24 +582,26 @@ class LoopCloser:
         K = len(kfs)
         if K < 3:
             return
-        v = np.zeros((K, 7), np.float32)
+        # vertex init from corrected (group) / snapshot (others); ONE batched
+        # sim3_log launch for all vertices (a per-vertex device call would put
+        # K tiny dispatches on the hot tracker-stall path)
+        vR = np.zeros((K, 3, 3), np.float32)
+        vt = np.zeros((K, 3), np.float32)
+        vs = np.ones(K, np.float32)
         for j in kfs:
             i = idx[j]
             if j in corrected:
-                Rj, tj, sj = corrected[j]
-                v[i] = np.asarray(sim3_log(
-                    jnp.asarray(Rj, jnp.float32), jnp.asarray(tj, jnp.float32),
-                    jnp.asarray(sj, jnp.float32)))
+                vR[i], vt[i], vs[i] = corrected[j]
             else:
                 Tbw = snapshot[j]
-                v[i] = np.asarray(sim3_log(
-                    jnp.asarray(Tbw[:3, :3], jnp.float32),
-                    jnp.asarray(Tbw[:3, 3], jnp.float32),
-                    jnp.asarray(1.0, jnp.float32)))
+                vR[i], vt[i], vs[i] = Tbw[:3, :3], Tbw[:3, 3], 1.0
+        v = np.asarray(jax.vmap(sim3_log)(
+            jnp.asarray(vR), jnp.asarray(vt), jnp.asarray(vs)))
         # keep the vertex-init poses: they are the "old" poses for the final
         # point remap (reference keeps vScw before optimization, :480-520)
         v_init = v.copy()
-        ei, ej, meas, wts = [], [], [], []
+        ei, ej, wts = [], [], []
+        mR, mt, ms = [], [], []
 
         def _snap_sim3(j):
             Tbw = snapshot[j]
@@ -594,9 +620,9 @@ class LoopCloser:
             Rm, tm, sm = _np_sim3_compose(Rb, tb, sb, *_np_sim3_inverse(Ra, ta, sa))
             ei.append(idx[a])
             ej.append(idx[b])
-            meas.append(np.asarray(sim3_log(
-                jnp.asarray(Rm, jnp.float32), jnp.asarray(tm, jnp.float32),
-                jnp.asarray(sm, jnp.float32))))
+            mR.append(Rm)
+            mt.append(tm)
+            ms.append(sm)
             wts.append(weight)
 
         # chain in TIME order (kf_frame_id is monotonic; slot ids are not).
@@ -616,10 +642,15 @@ class LoopCloser:
         for (a, b) in s.loop_edges + [(k, cand)]:
             if a in idx and b in idx:
                 add_edge(a, b, from_snapshot=False, weight=5.0)
+        # ONE batched sim3_log launch for all edge measurements
+        meas = np.asarray(jax.vmap(sim3_log)(
+            jnp.asarray(np.stack(mR), jnp.float32),
+            jnp.asarray(np.stack(mt), jnp.float32),
+            jnp.asarray(np.stack(ms), jnp.float32)))
         edges = Sim3Edges(
             jnp.asarray(ei, jnp.int32),
             jnp.asarray(ej, jnp.int32),
-            jnp.asarray(np.stack(meas), jnp.float32),
+            jnp.asarray(meas, jnp.float32),
             jnp.asarray(wts, jnp.float32),
             jnp.ones(len(ei), bool),
         )
@@ -629,20 +660,23 @@ class LoopCloser:
             optimize_essential_graph(jnp.asarray(v), edges, jnp.asarray(fixed), n_iters=15)
         )
         # recover SE3 poses + remap points via each point's first KF (:480-520)
+        # (two batched sim3_exp launches instead of 2K tiny ones)
+        Ro_all, to_all, so_all = (np.asarray(a, np.float64) for a in
+                                  jax.vmap(sim3_exp)(jnp.asarray(v_init)))
+        Rn_all, tn_all, sn_all = (np.asarray(a, np.float64) for a in
+                                  jax.vmap(sim3_exp)(jnp.asarray(v_out)))
         old_bw: Dict[int, np.ndarray] = {}
         new_sim3: Dict[int, Tuple[np.ndarray, np.ndarray, float]] = {}
         for j in kfs:
             i = idx[j]
-            Ro, to, so = (np.asarray(a, np.float64) for a in sim3_exp(jnp.asarray(v_init[i])))
             Told = np.eye(4)
-            Told[:3, :3] = Ro
-            Told[:3, 3] = to / float(so)
+            Told[:3, :3] = Ro_all[i]
+            Told[:3, 3] = to_all[i] / so_all[i]
             old_bw[j] = Told
-            Rn, tn, sn = (np.asarray(a, np.float64) for a in sim3_exp(jnp.asarray(v_out[i])))
-            new_sim3[j] = (Rn, tn, float(sn))
+            new_sim3[j] = (Rn_all[i], tn_all[i], float(sn_all[i]))
             Tbw = np.eye(4)
-            Tbw[:3, :3] = Rn
-            Tbw[:3, 3] = tn / float(sn)
+            Tbw[:3, :3] = Rn_all[i]
+            Tbw[:3, 3] = tn_all[i] / sn_all[i]
             s.kf_pose[j] = hom_to_cayley_np(np.linalg.inv(Tbw))
         # batch the point remap by reference keyframe (one numpy pass per KF
         # instead of one device call per point)

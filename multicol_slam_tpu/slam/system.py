@@ -34,7 +34,12 @@ from multicol_slam_tpu.slam.map_store import (
     cayley_to_hom_np,
     hom_to_cayley_np,
 )
-from multicol_slam_tpu.slam.tracking_kernels import LocalPoints, track_stage
+from multicol_slam_tpu.slam.tracking_kernels import (
+    LocalPoints,
+    track_frame_fused,
+    track_stage,
+    unpack_fused,
+)
 from multicol_slam_tpu.utils.config import SlamSettings
 from multicol_slam_tpu.utils.geometry import cayley_to_hom, hom_inverse, hom_to_cayley
 
@@ -128,6 +133,10 @@ class MultiColSLAM:
         self.last_kf_id = -1
         self.frames_since_kf = 0
         self.ref_kf_tracked = 0
+        self.ref_kf_id = -1          # mpReferenceKF (max-vote local KF)
+        self._last_reloc_frame = -(10 ** 9)  # mnLastRelocFrameId
+        self._interrupt_ba = False   # InterruptBA request (cLocalMapping.cpp:515)
+        self._truncated_local_pts = 0  # observability: stage-2 cap drops
         self.trajectory: List[FrameMetrics] = []
         # fixed capacities for the two tracking stages (static jit shapes)
         self._stage1_cap = self.map_cfg.feats_per_kf
@@ -137,6 +146,7 @@ class MultiColSLAM:
         self._kf_queue = None
         self._worker = None
         self._frame_idle = None
+        self._tracker_tid = None
         if async_mapping:
             import queue
             import threading
@@ -166,6 +176,9 @@ class MultiColSLAM:
         oracle path)."""
         t0 = time.perf_counter()
         if self._frame_idle is not None:
+            import threading
+
+            self._tracker_tid = threading.get_ident()
             self._frame_idle.clear()
         try:
             self.frame_id += 1
@@ -197,8 +210,15 @@ class MultiColSLAM:
     def _yield_to_tracker(self):
         """Called by the mapping worker before each device dispatch: wait
         (bounded) for the in-flight tracked frame to finish so tracking
-        kernels never queue behind mapping programs on the shared chip."""
+        kernels never queue behind mapping programs on the shared chip.
+        No-op when called from the tracking thread itself (the synchronous
+        mapper calls in _try_initialize would otherwise dead-wait on the
+        _frame_idle event the caller only sets after returning)."""
         if self._frame_idle is not None:
+            import threading
+
+            if threading.get_ident() == self._tracker_tid:
+                return
             self._frame_idle.wait(timeout=0.05)
 
     # ------------------------------------------------------------------
@@ -262,6 +282,7 @@ class MultiColSLAM:
         self.frames_since_kf = 0
         self.last_assign_global = self._kf_assign(k2)
         self.ref_kf_tracked = int((s.kf_point[k2] >= 0).sum())
+        self.ref_kf_id = k2
         self.state = WORKING
 
     def _kf_assign(self, k):
@@ -275,6 +296,13 @@ class MultiColSLAM:
     def _gather_points_locked(self, pt_ids: np.ndarray, cap: int) -> LocalPoints:
         s = self.store
         n = min(len(pt_ids), cap)
+        if n < len(pt_ids):
+            # no silent caps: count + log the first few truncations so an
+            # oversized local map is visible in the metrics
+            self._truncated_local_pts += len(pt_ids) - n
+            if self._truncated_local_pts <= 3 * (len(pt_ids) - n):
+                print(f"[multicol-slam] local-map gather truncated "
+                      f"{len(pt_ids) - n} of {len(pt_ids)} points (cap {cap})")
         pt_ids = pt_ids[:n]
         pad = cap - n
         return LocalPoints(
@@ -301,7 +329,10 @@ class MultiColSLAM:
             else:
                 self.state = LOST
                 return
-        # ---- stage 1: motion-model matching against last frame's points ---
+        # ---- both tracking stages as ONE fused device program -------------
+        # (motion-model stage + local-map stage, SURVEY.md §7 "one fused
+        # tracking program per frame": one dispatch + one packed readback;
+        # on a tunneled chip each extra readback is a full RPC round trip)
         pose_pred = self.last_pose
         if self.settings.use_motion_model:
             Mt = cayley_to_hom_np(self.last_pose)
@@ -309,58 +340,74 @@ class MultiColSLAM:
         prev_pts = self.last_assign_global
         pt_ids = np.unique(prev_pts[prev_pts >= 0]) if prev_pts is not None else np.empty(0, np.int64)
         pt_ids = pt_ids[s.pt_valid[pt_ids]] if len(pt_ids) else pt_ids
-        ok_stage1 = False
-        pose1 = pose_pred
-        if len(pt_ids) >= 10:
-            lp, pt_ids1 = self._gather_points(pt_ids, self._stage1_cap)
-            out = track_stage(
-                self.mc6, self.intr, self.rig.cams, feats,
-                jnp.asarray(pose_pred, jnp.float32), lp,
-                scale_factor=sf, n_levels=nl, radius=15.0, th_desc=self.th_track, use_masks=self.use_masks,
-            )
-            pose_f, _, n1, _, _ = out.fetch()   # ONE readback for the stage
-            if n1 >= MIN_POSE_INLIERS:
-                pose1 = pose_f
-                ok_stage1 = True
-            else:
-                # fallback: wider window from the unadvanced pose
-                # (TrackPreviousFrame semantics, cTracking.cpp:731)
-                out = track_stage(
-                    self.mc6, self.intr, self.rig.cams, feats,
-                    jnp.asarray(self.last_pose, jnp.float32), lp,
-                    scale_factor=sf, n_levels=nl, radius=50.0, th_desc=self.th_track, use_masks=self.use_masks,
-                )
-                pose_f, _, n1, _, _ = out.fetch()
-                if n1 >= MIN_POSE_INLIERS:
-                    pose1 = pose_f
-                    ok_stage1 = True
-        # ---- stage 2: track the local map ---------------------------------
         local_pts = self._local_map_points(pt_ids)
         n_inl = 0
+        ok = False
         assign_global = np.full(s.cfg.feats_per_kf, BAD_ID, np.int32)
-        if len(local_pts) >= 10:
+        have1 = len(pt_ids) >= 10
+        have2 = len(local_pts) >= 10
+        stage2_args = dict(scale_factor=sf, n_levels=nl, radius=4.0,
+                           th_desc=self.th_track, use_masks=self.use_masks)
+        if have1 and have2:
+            with self.map_lock:
+                lp1, _ = self._gather_points_locked(pt_ids, self._stage1_cap)
+                lp2, pt_ids2 = self._gather_points_locked(local_pts, self._stage2_cap)
+            packed = track_frame_fused(
+                self.mc6, self.intr, self.rig.cams, feats,
+                jnp.asarray(pose_pred, jnp.float32), lp1, lp2,
+                scale_factor=sf, n_levels=nl, radius1=15.0, radius2=4.0,
+                th_desc=self.th_track, min_pose_inliers=MIN_POSE_INLIERS,
+                use_masks=self.use_masks,
+            )
+            _, n1, pose_f2, n_match2, n_inl, assign, inl = unpack_fused(np.asarray(packed))
+            if n_inl < MIN_TRACK_INLIERS and n1 < MIN_POSE_INLIERS:
+                # rare host path — TrackPreviousFrame coarse->fine protocol
+                # (cTracking.cpp:731-795): wide window search + pose opt from
+                # the UNADVANCED last pose, then a narrower re-search + second
+                # pose opt; fused into one two-stage program as well
+                packed = track_frame_fused(
+                    self.mc6, self.intr, self.rig.cams, feats,
+                    jnp.asarray(self.last_pose, jnp.float32), lp1, lp1,
+                    scale_factor=sf, n_levels=nl, radius1=60.0, radius2=40.0,
+                    th_desc=self.th_track, min_pose_inliers=MIN_POSE_INLIERS,
+                    use_masks=self.use_masks,
+                )
+                _, _, pose_w, _, n_w, _, _ = unpack_fused(np.asarray(packed))
+                if n_w >= MIN_POSE_INLIERS:
+                    # local-map stage from the recovered pose
+                    out2 = track_stage(
+                        self.mc6, self.intr, self.rig.cams, feats,
+                        jnp.asarray(pose_w, jnp.float32), lp2, **stage2_args)
+                    pose_f2, n_match2, n_inl, assign, inl = out2.fetch()
+            ok = n_inl >= MIN_TRACK_INLIERS
+        elif have2:
+            # no last-frame points (fresh reloc): local-map stage only
             lp2, pt_ids2 = self._gather_points(local_pts, self._stage2_cap)
             out2 = track_stage(
                 self.mc6, self.intr, self.rig.cams, feats,
-                jnp.asarray(pose1, jnp.float32), lp2,
-                scale_factor=sf, n_levels=nl, radius=4.0, th_desc=self.th_track, use_masks=self.use_masks,
-            )
+                jnp.asarray(pose_pred, jnp.float32), lp2, **stage2_args)
             pose_f2, n_match2, n_inl, assign, inl = out2.fetch()
-            if n_inl >= MIN_TRACK_INLIERS:
-                self._finish_frame(pose_f2)
-                matched = (assign >= 0) & inl
-                assign_global[matched] = pt_ids2[assign[matched]]
-                # visibility bookkeeping (mnVisible/mnFound)
-                with self.map_lock:
-                    s.pt_visible[pt_ids2] += 1
-                    s.pt_found[np.unique(assign_global[assign_global >= 0])] += 1
-                m.n_matches = n_match2
-                m.n_inliers = n_inl
-                self.state = WORKING
-            else:
-                self.state = LOST
-        elif ok_stage1:
-            self._finish_frame(pose1)
+            ok = n_inl >= MIN_TRACK_INLIERS
+        elif have1:
+            # degenerate tiny map: motion-model stage only
+            lp1, pt_ids2 = self._gather_points(pt_ids, self._stage1_cap)
+            out1 = track_stage(
+                self.mc6, self.intr, self.rig.cams, feats,
+                jnp.asarray(pose_pred, jnp.float32), lp1,
+                scale_factor=sf, n_levels=nl, radius=15.0,
+                th_desc=self.th_track, use_masks=self.use_masks)
+            pose_f2, n_match2, n_inl, assign, inl = out1.fetch()
+            ok = n_inl >= MIN_POSE_INLIERS
+        if ok:
+            self._finish_frame(pose_f2)
+            matched = (assign >= 0) & inl
+            assign_global[matched] = pt_ids2[assign[matched]]
+            # visibility bookkeeping (mnVisible/mnFound)
+            with self.map_lock:
+                s.pt_visible[pt_ids2] += 1
+                s.pt_found[np.unique(assign_global[assign_global >= 0])] += 1
+            m.n_matches = n_match2
+            m.n_inliers = n_inl
             self.state = WORKING
         else:
             self.state = LOST
@@ -373,21 +420,36 @@ class MultiColSLAM:
             elif self._relocalize(feats, m):
                 self.state = WORKING
             return
-        # ---- keyframe decision (NeedNewKeyFrame, cTracking.cpp:897-946):
-        # c1a: too long since last KF; c1b+c2: tracking weakening vs the
-        # reference KF while still healthy (>KF_MIN_INLIERS) ----------------
+        # ---- keyframe decision (NeedNewKeyFrame, cTracking.cpp:897-946) ---
         self.frames_since_kf += 1
         if self.localization_only:
             return  # ActivateLocalizationMode: track against the frozen map
+        # post-relocalization holdoff (cTracking.cpp:904-905): no insertions
+        # within maxFrames of a reloc once the map is established
+        if (self.frame_id < self._last_reloc_frame + self.settings.max_frames
+                and int(s.kf_valid.sum()) > self.settings.max_frames):
+            return
+        # mapper idle = AcceptMultiKeyFrames (queue drained; sync mode: always)
+        mapper_idle = self._kf_queue is None or self._kf_queue.qsize() == 0
         c1a = self.frames_since_kf >= self.settings.max_frames
-        c1b = self.frames_since_kf >= self.settings.min_frames
+        c1b = self.frames_since_kf >= self.settings.min_frames and mapper_idle
         c2 = (n_inl < KF_REF_RATIO * max(self.ref_kf_tracked, 1)) and n_inl > KF_MIN_INLIERS
-        # backpressure: with async mapping, don't pile keyframes onto a busy
-        # worker (the reference's SetAcceptKeyFrames gate, cLocalMapping)
-        mapper_busy = self._kf_queue is not None and self._kf_queue.qsize() >= 3
-        if ((c1a and n_inl >= MIN_TRACK_INLIERS) or (c1b and c2)) and not mapper_busy:
-            self._create_keyframe(feats, timestamp, assign_global)
-            m.is_keyframe = True
+        # curBaseline2MKF (cTracking.cpp:876-877,:928): distance to the
+        # reference keyframe must exceed 0.2 — a stationary rig never inserts
+        baseline = 0.0
+        if self.ref_kf_id >= 0:
+            with self.map_lock:
+                ref_pose = s.kf_pose[self.ref_kf_id].copy()
+            baseline = float(np.linalg.norm(
+                cayley_to_hom_np(self.last_pose)[:3, 3]
+                - cayley_to_hom_np(ref_pose)[:3, 3]))
+        if ((c1a or c1b) and c2) and baseline > 0.2:
+            if mapper_idle:
+                self._create_keyframe(feats, timestamp, assign_global)
+                m.is_keyframe = True
+            else:
+                # InterruptBA, but do not insert yet (cTracking.cpp:933-940)
+                self._interrupt_ba = True
 
     def _finish_frame(self, new_pose: np.ndarray):
         Mt_last = cayley_to_hom_np(self.last_pose)
@@ -413,6 +475,7 @@ class MultiColSLAM:
             if len(ks) == 0:
                 ks = np.argsort(-votes)[:3]
             ref = int(ks[np.argmax(votes[ks])])
+            self.ref_kf_id = ref
             self.ref_kf_tracked = int((s.kf_point[ref] >= 0).sum())
             neighbors = set()
             for k in ks[:10]:
@@ -431,6 +494,7 @@ class MultiColSLAM:
             self.last_assign_global = s.kf_point[k].copy()
             self.last_kf_id = k
             self.frames_since_kf = 0
+            self.ref_kf_id = k
             self.ref_kf_tracked = int((s.kf_point[k] >= 0).sum())
         if self.async_mapping:
             # hand off to the mapping worker (InsertMultiKeyFrame,
@@ -463,9 +527,15 @@ class MultiColSLAM:
                 self._kf_queue.task_done()
                 return
             try:
-                # defer BA when a newer keyframe is already waiting (the
-                # reference's InterruptBA, cLocalMapping.cpp:515)
-                self.mapper.run(k, interrupt=lambda: not self._kf_queue.empty())
+                # defer BA when a newer keyframe is already waiting, or the
+                # tracker requested an insertion while we were busy (the
+                # reference's InterruptBA, cLocalMapping.cpp:515, raised from
+                # NeedNewKeyFrame cTracking.cpp:933-940)
+                self._interrupt_ba = False
+                self.mapper.run(
+                    k,
+                    interrupt=lambda: self._interrupt_ba or not self._kf_queue.empty(),
+                )
                 if self.loop_closer is not None:
                     closed = self.loop_closer.process(k)
                     if closed:
@@ -587,6 +657,7 @@ class MultiColSLAM:
             )
             pose_f, _, n_ok, assign, inl = out.fetch()
             if n_ok >= 10:
+                self._last_reloc_frame = self.frame_id  # mnLastRelocFrameId
                 self.last_pose = pose_f
                 self.velocity = np.eye(4, dtype=np.float32)
                 ag = np.full(s.cfg.feats_per_kf, BAD_ID, np.int32)
@@ -654,6 +725,9 @@ class MultiColSLAM:
         self.ref_feats = None
         self.last_assign_global = None
         self.velocity = np.eye(4, dtype=np.float32)
+        self.ref_kf_id = -1
+        self._last_reloc_frame = -(10 ** 9)
+        self.frames_since_kf = 0
 
     def shutdown(self):
         """Join the mapping worker (cSystem::Shutdown thread joins); no-op in
