@@ -1,45 +1,54 @@
 #!/usr/bin/env python
-"""Benchmark: per-chip tracking throughput of the TPU-native MultiCol-SLAM.
+"""Benchmark: per-chip tracking throughput + whole-pipeline latency of the
+TPU-native MultiCol-SLAM.
 
-Measures the per-frame hot path on Lafida-shaped load (3 fisheye cameras,
-754x480, 400 features x 8 pyramid levels — Slam_Settings_indoor1.yaml):
-feature extraction + two projection-guided matching / robust pose-
-optimization stages (motion-model stage + local-map stage), pipelined over
-30 frames. The local map is built from REAL extracted features unprojected
-to 3-D (so matching finds realistic inlier counts and the pose optimizer
-does real Gauss-Newton work from a perturbed starting pose — not a
-degenerate no-match frame). Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Phase 1 — steady-state tracking throughput at Lafida load (3 fisheye
+cameras, 754x480, 400 features x 8 pyramid levels —
+Slam_Settings_indoor1.yaml): feature extraction + the ONE fused tracking
+program per frame (motion-model stage + local-map stage + robust pose
+optimization, slam/tracking_kernels.track_frame_fused), pipelined over 30
+frames. The local map is built from REAL extracted features unprojected to
+3-D so matching finds realistic inlier counts and the pose optimizer does
+real Gauss-Newton work from a perturbed starting pose. Also reports the
+synchronous per-frame latency (dispatch + the production packed readback) —
+on a tunneled device the readback RPC dominates that number.
 
-Baseline: the reference system is real-time gated at 25 fps on a laptop CPU
-(BASELINE.md: Camera.fps 25, frame budget 40 ms, i7-3630QM). vs_baseline is
-our frames/s over 25.
+Phase 2 — whole-pipeline per-frame latency at the SAME full Lafida shape:
+a synthetic indoor world rendered through the REAL Lafida calibration
+(/root/reference/Examples/Lafida YAMLs when present, else an equivalent
+754x480 fisheye rig), 400 feats x 8 levels, extraction INCLUDED, keyframes
+inserted by the reference's NeedNewKeyFrame rules, async mapping + loop
+closing active (the CLI default pipeline). Reported twice: paced at the
+reference's 40 ms camera period (mult_col_slam_lafida.cpp:134-143 sleeps to
+inter-frame time; mapping fills each frame's idle gap, which is the load a
+real-time camera produces) and unpaced back-to-back (the stress profile).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Baseline: the reference is real-time gated at 25 fps on a laptop CPU
+(BASELINE.md). vs_baseline = our steady-state frames/s over 25.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+LAFIDA_CALIB = "/root/reference/Examples/Lafida"
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
-    from multicol_slam_tpu.utils.jaxcache import enable_compile_cache
-
-    enable_compile_cache()
-
-    from multicol_slam_tpu.models.camera import OmniCamera, cam_img_to_world
+def _lafida_rig(n_cams=3):
+    """The REAL Lafida helmet rig when its calibration files are available,
+    else an equivalent-shape 754x480 fisheye rig (same polynomial family)."""
+    from multicol_slam_tpu.models.camera import OmniCamera
     from multicol_slam_tpu.models.rig import MultiCamRig
-    from multicol_slam_tpu.slam.features import extract_features_jit
-    from multicol_slam_tpu.slam.map_store import cayley_to_hom_np, hom_to_cayley_np
-    from multicol_slam_tpu.slam.tracking_kernels import LocalPoints, track_stage
-    from multicol_slam_tpu.utils.config import ExtractorSettings
+    from multicol_slam_tpu.slam.map_store import hom_to_cayley_np
 
-    rng = np.random.default_rng(0)
-    C, H, W = 3, 480, 754
-    settings = ExtractorSettings(n_features=400, n_levels=8, scale_factor=1.2, fast_th=20)
+    if os.path.isdir(LAFIDA_CALIB):
+        from multicol_slam_tpu.utils.config import load_rig
+
+        return load_rig(LAFIDA_CALIB), True
+    C, H, W = n_cams, 480, 754
     cams = OmniCamera.from_params(
         [[-209.2, 0.0, 0.0021, -4.2e-06, 1.77e-08]] * C,
         [[293.7, 150.0, -10.4, 28.2, 7.1, 0.06, 10.4, 0.17, -5.9, 1.18, 3.1, 0.81]] * C,
@@ -50,7 +59,27 @@ def main():
     Mc = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
     Mc[1, 0, 3] = 0.2
     Mc[2, 1, 3] = 0.2
-    rig = MultiCamRig.from_cayley(cams, hom_to_cayley_np(Mc).astype(np.float32))
+    return MultiCamRig.from_cayley(cams, hom_to_cayley_np(Mc).astype(np.float32)), False
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from multicol_slam_tpu.utils.jaxcache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from multicol_slam_tpu.slam.features import extract_features_jit
+    from multicol_slam_tpu.slam.tracking_kernels import LocalPoints, track_frame_fused
+    from multicol_slam_tpu.utils.config import ExtractorSettings
+
+    rng = np.random.default_rng(0)
+    settings = ExtractorSettings(n_features=400, n_levels=8, scale_factor=1.2, fast_th=20)
+    rig, _ = _lafida_rig()
+    C = rig.n_cams
+    W, H = (int(x) for x in np.asarray(rig.cams.wh[0]))
+    Mc = np.asarray(rig.Mc)
 
     # textured scene image: white noise has dense FAST corners at every level
     images = jnp.asarray(rng.uniform(0, 255, (C, H, W)).astype(np.float32))
@@ -63,7 +92,6 @@ def main():
     # their detections, and pose optimization pulls a perturbed start pose
     # back — the same work profile as steady-state tracking (WORKING state).
     feats0 = extract_features_jit(images, rig.cams, settings)
-    uv = np.asarray(feats0.uv)
     desc = np.asarray(feats0.desc)
     valid = np.asarray(feats0.valid)
     rays = np.asarray(feats0.rays)
@@ -80,113 +108,129 @@ def main():
     D = np.concatenate(Ds)[:L]
     n = len(X)
     pad = L - n
-    pts = LocalPoints(
-        X=jnp.asarray(np.pad(X, ((0, pad), (0, 0)))),
-        desc=jnp.asarray(np.pad(D, ((0, pad), (0, 0)))),
-        min_dist=jnp.full((L,), 0.5),
-        max_dist=jnp.full((L,), 40.0),
-        valid=jnp.asarray(np.arange(L) < n),
-    )
+
+    def make_pts(cap, Xa, Da, na):
+        return LocalPoints(
+            X=jnp.asarray(np.pad(Xa, ((0, cap - len(Xa)), (0, 0)))),
+            desc=jnp.asarray(np.pad(Da, ((0, cap - len(Da)), (0, 0)))),
+            min_dist=jnp.full((cap,), 0.5),
+            max_dist=jnp.full((cap,), 40.0),
+            valid=jnp.asarray(np.arange(cap) < na),
+        )
+
+    pts2 = make_pts(L, X, D, n)                     # local-map stage block
+    L1 = C * settings.n_features                    # stage-1 cap (feats_per_kf)
+    pts1 = make_pts(L1, X[:L1], D[:L1], min(n, L1))
     # perturbed start pose: ~0.5 deg rotation + 3 cm translation, the typical
     # motion-model prediction error the pose stages must absorb
     pose0 = jnp.asarray(np.array([0.002, -0.003, 0.002, 0.02, -0.015, 0.01], np.float32))
 
     def frame(images):
         feats = extract_features_jit(images, rig.cams, settings)
-        out1 = track_stage(mc6, intr, rig.cams, feats, pose0, pts,
-                           radius=15.0, th_desc=96.0)
-        out2 = track_stage(mc6, intr, rig.cams, feats, out1.pose, pts,
-                           radius=4.0, th_desc=96.0)
-        return out2.pose, out2.n_inliers
+        return track_frame_fused(mc6, intr, rig.cams, feats, pose0, pts1, pts2,
+                                 radius1=15.0, radius2=4.0, th_desc=96.0)
 
     # warmup/compile
-    p, n_inl = frame(images)
+    p = frame(images)
     p.block_until_ready()
-    n_inliers = int(n_inl)
+    pr = np.asarray(p)
+    n_inliers = int(pr[14])  # [pose1(6), n1] + [pose2(6), n_match2, n_inl, ...]
     assert n_inliers >= 100, f"bench sanity: expected a well-matched frame, got {n_inliers} inliers"
     n_iters = 30
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        p, n_inl = frame(images)
+        p = frame(images)
     p.block_until_ready()
     dt = time.perf_counter() - t0
     fps = n_iters / dt
+    # synchronous per-frame latency: the production pattern (one fused
+    # program + one packed readback, copy enqueued right after dispatch)
+    sync_times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        p = frame(images)
+        p.copy_to_host_async()
+        np.asarray(p)
+        sync_times.append((time.perf_counter() - t0) * 1e3)
+    sync_ms = float(np.median(sync_times))
 
-    # ---- phase 2: whole-pipeline latency WITH keyframe insertions ---------
-    # The steady-state fps above measures non-keyframe frames only; the
-    # reference's 25 fps gate covers the pipelined whole (mapping + loop
-    # closing on worker threads, cSystem.cpp:98,102) with the driver pacing
-    # frames to the camera period (mult_col_slam_lafida.cpp:134-143). Run the
-    # full system in async-mapping mode on a synthetic sequence with regular
-    # keyframe insertions, paced at the reference's 40 ms frame period, and
-    # report p50 / p95 / worst per-frame track latency (features
-    # precomputed: this phase isolates pipeline stalls, extraction
-    # throughput is already in the fps metric). Mapping fills the idle gap
-    # of each frame period (cooperative device scheduling); an unpaced
-    # back-to-back replay would deny it any gap — a load no real-time
-    # camera produces.
-    lat = _pipeline_latency()
+    # ---- phase 2: whole-pipeline latency at full Lafida shape -------------
+    lat = _pipeline_latency(rig, settings)
     out = {
         "metric": "tracking_frames_per_s_per_chip",
         "value": round(fps, 2),
-        "unit": f"frames/s (3x754x480 fisheye rig, 400 feats x 8 levels, 2 pose stages, {n_inliers} inliers)",
+        "unit": f"frames/s ({C}x{W}x{H} fisheye rig, 400 feats x 8 levels, fused 2-stage tracking, {n_inliers} inliers)",
         "vs_baseline": round(fps / 25.0, 3),
+        "sync_frame_ms": round(sync_ms, 2),
     }
     out.update(lat)
     print(json.dumps(out))
 
 
-def _pipeline_latency(n_frames: int = 80):
-    import jax.numpy as jnp
-
+def _pipeline_latency(rig, ex_settings, n_frames: int = 64):
+    """Full-system per-frame latency at Lafida shape: rendered 754x480 images
+    through the (real when available) Lafida calibration, extraction
+    included, async mapping + loop closing, keyframes per NeedNewKeyFrame."""
+    from multicol_slam_tpu.io.render import render_frame
     from multicol_slam_tpu.io.synthetic import make_world
     from multicol_slam_tpu.slam.map_store import MapConfig
     from multicol_slam_tpu.slam.system import MultiColSLAM
-    from multicol_slam_tpu.utils.config import ExtractorSettings, SlamSettings
+    from multicol_slam_tpu.utils.config import SlamSettings
 
-    world = make_world(n_points=800, n_frames=n_frames, n_cams=3, n_feats=250,
-                       noise_px=0.2, trajectory="circle_noyaw", radius=3.0,
-                       seed=12, period=int(0.8 * n_frames))
-    feats = [world.frame_features(t) for t in range(n_frames)]
-    settings = SlamSettings(
-        fps=7.5,  # min/max_frames 2/5: force frequent keyframe insertions
-        extractor=ExtractorSettings(n_features=world.n_feats, n_levels=1),
-    )
-    cfg = MapConfig(max_keyframes=64, max_points=8000, n_cams=3,
-                    feats_per_cam=world.n_feats, n_levels=1)
-    # warmup pass: trigger every jit compile (tracking stages, triangulation,
-    # BA buckets) so the measured run reflects pipeline behavior, not XLA
-    warm = MultiColSLAM(world.rig, settings, cfg, use_loop_closing=True,
-                        async_mapping=True)
-    for t in range(min(40, n_frames)):
-        warm.track(feats=feats[t], timestamp=world.timestamps[t])
-    warm.wait_mapping_idle()
-    warm.shutdown()
+    real = os.path.isdir(LAFIDA_CALIB)
+    # period 400 -> 0.047 m/frame at radius 3: walking speed at the 25 fps
+    # camera rate, the motion profile the reference's keyframe-cadence
+    # constants (minFrames=8, baseline>0.2) are tuned for
+    world = make_world(n_points=2400, n_frames=n_frames, n_cams=rig.n_cams,
+                       n_feats=ex_settings.n_features, noise_px=0.2,
+                       trajectory="circle_noyaw", radius=3.0, seed=12,
+                       period=400, landmarks="room",
+                       max_vis_dist=12.0, rig=rig)
+    images = [render_frame(world, t).astype(np.float32) for t in range(n_frames)]
+    settings = SlamSettings(fps=25.0, extractor=ex_settings)
+    cfg = MapConfig(max_keyframes=64, max_points=20000, n_cams=rig.n_cams,
+                    feats_per_cam=ex_settings.n_features,
+                    n_levels=ex_settings.n_levels,
+                    scale_factor=ex_settings.scale_factor)
 
-    slam = MultiColSLAM(world.rig, settings, cfg, use_loop_closing=True,
-                        async_mapping=True)
-    times = []
-    kf_frames = 0
-    period = 1.0 / 25.0  # the reference's Camera.fps real-time pacing
-    next_t = time.perf_counter()
-    for t in range(n_frames):
-        now = time.perf_counter()
-        if now < next_t:
-            time.sleep(next_t - now)
-        next_t = max(next_t + period, time.perf_counter())
-        t0 = time.perf_counter()
-        m = slam.track(feats=feats[t], timestamp=world.timestamps[t])
-        times.append((time.perf_counter() - t0) * 1e3)
-        kf_frames += int(m.is_keyframe)
-    slam.wait_mapping_idle()
-    slam.shutdown()
-    # drop the first 10 frames: compile warmup, not pipeline behavior
-    arr = np.asarray(times[10:])
+    def run(paced: bool):
+        slam = MultiColSLAM(world.rig, settings, cfg, use_loop_closing=True,
+                            async_mapping=True)
+        times = []
+        kf_frames = 0
+        period = 1.0 / 25.0
+        next_t = time.perf_counter()
+        for t in range(n_frames):
+            if paced:
+                now = time.perf_counter()
+                if now < next_t:
+                    time.sleep(next_t - now)
+                next_t = max(next_t + period, time.perf_counter())
+            t0 = time.perf_counter()
+            m = slam.track(images=images[t], timestamp=world.timestamps[t])
+            times.append((time.perf_counter() - t0) * 1e3)
+            kf_frames += int(m.is_keyframe)
+        n_tracked = sum(1 for m in slam.trajectory if m.state == 3)
+        slam.wait_mapping_idle()
+        slam.shutdown()
+        return np.asarray(times[8:]), kf_frames, n_tracked
+
+    # warmup pass: trigger every jit compile (extraction, tracking, BA
+    # buckets, triangulation) so measured runs reflect pipeline behavior
+    run(paced=False)
+    arr_p, kf_p, trk_p = run(paced=True)
+    arr_u, kf_u, _ = run(paced=False)
     return {
-        "pipeline_p50_ms": round(float(np.percentile(arr, 50)), 2),
-        "pipeline_p95_ms": round(float(np.percentile(arr, 95)), 2),
-        "pipeline_worst_ms": round(float(arr.max()), 2),
-        "pipeline_kf_frames": kf_frames,
+        "pipeline_p50_ms": round(float(np.percentile(arr_p, 50)), 2),
+        "pipeline_p95_ms": round(float(np.percentile(arr_p, 95)), 2),
+        "pipeline_worst_ms": round(float(arr_p.max()), 2),
+        "pipeline_kf_frames": kf_p,
+        "pipeline_tracked_frames": trk_p,
+        "pipeline_paced_25fps": True,
+        "pipeline_unpaced_p50_ms": round(float(np.percentile(arr_u, 50)), 2),
+        "pipeline_unpaced_p95_ms": round(float(np.percentile(arr_u, 95)), 2),
+        "pipeline_shape": f"{rig.n_cams}x754x480 {'real-calib' if real else 'synth-calib'}, "
+                          f"{ex_settings.n_features} feats x {ex_settings.n_levels} levels, extraction included",
     }
 
 

@@ -24,12 +24,25 @@ vs_baseline is normalized against a 5 Hz local-BA cadence x 15 iterations =
 mapping thread must meet).
 """
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--cpu8" in argv:
+        # virtual 8-device CPU mesh (the env-var route is too late here: the
+        # platform plugin registers in sitecustomize, so force it in-process
+        # before any backend initializes)
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     from multicol_slam_tpu.utils.jaxcache import enable_compile_cache

@@ -14,12 +14,26 @@ Prints ONE JSON line, e.g.
 and is regression-gated by tests/test_eval_accuracy.py. Record results in
 EVAL.md.
 
-Usage: python eval.py [--frames N] [--out DIR] [--tpu] [--loops]
+Modes:
+  (default)     synthetic rig, 200 feats x 2 levels — the fast regression run
+  --real-calib  REAL Lafida helmet calibration (/root/reference/Examples/
+                Lafida YAMLs: 754x480, real polynomials + cde skew + mirror
+                geometry) driven through the full pixel pipeline at the
+                reference's 400-feats x 8-levels load (cSystem.cpp:125-180
+                LoadMCS; README.md:100-127 schema)
+  --selfcal     self-calibrating-BA capability demo (BASELINE config 4):
+                build a map with the true rig, perturb the extrinsics M_c,
+                free them in GBA (FreeMask mc per-camera, cam0 pinned for
+                gauge) and report the recovered extrinsic error
+
+Usage: python eval.py [--frames N] [--out DIR] [--tpu] [--real-calib | --selfcal]
 """
 import json
 import os
 import sys
 import time
+
+LAFIDA_CALIB = "/root/reference/Examples/Lafida"
 
 
 def main(argv=None):
@@ -27,7 +41,9 @@ def main(argv=None):
     n_frames = 35
     out_dir = "/tmp/mcslam_eval"
     use_tpu = False
-    drift = 0.0
+    real_calib = False
+    selfcal = False
+    use_async = False
     it = iter(argv)
     for a in it:
         if a == "--frames":
@@ -36,6 +52,12 @@ def main(argv=None):
             out_dir = next(it)
         elif a == "--tpu":
             use_tpu = True
+        elif a == "--real-calib":
+            real_calib = True
+        elif a == "--selfcal":
+            selfcal = True
+        elif a == "--async":
+            use_async = True
         else:
             raise SystemExit(f"unknown arg {a}")
 
@@ -43,9 +65,14 @@ def main(argv=None):
 
     if not use_tpu:
         jax.config.update("jax_platforms", "cpu")
-    # deterministic artifact: run the sequential pipeline (async mapping
-    # interleaves BA with tracking and makes the number run-to-run noisy)
-    extra_cli = ["--sync-mapping"]
+    if selfcal:
+        return _selfcal(n_frames if n_frames != 35 else 60)
+    if real_calib:
+        return _real_calib(n_frames if n_frames != 35 else 40, out_dir + "_real")
+    # deterministic artifact: run the sequential pipeline by default (async
+    # mapping interleaves BA with tracking and makes the number run-to-run
+    # noisy); --async measures the SHIPPING default pipeline instead
+    extra_cli = [] if use_async else ["--sync-mapping"]
     from multicol_slam_tpu.utils.jaxcache import enable_compile_cache
 
     enable_compile_cache()
@@ -85,9 +112,172 @@ def main(argv=None):
         "n_frames": n_frames,
         "wall_s": round(wall, 1),
         "platform": "tpu" if use_tpu else "cpu",
+        "pipeline": "async" if use_async else "sync",
     }
     print(json.dumps(result))
     return 0 if np.isfinite(ate) else 1
+
+
+def _real_calib(n_frames: int, out_dir: str):
+    """End-to-end run through the REAL Lafida calibration: render the
+    synthetic indoor world through the rig loaded from the reference's
+    calibration YAMLs at 754x480, run the CLI with calib_dir pointing at the
+    REAL files, score ATE (VERDICT r3 item 5)."""
+    from multicol_slam_tpu.utils.jaxcache import enable_compile_cache
+
+    enable_compile_cache()
+    import numpy as np
+
+    from multicol_slam_tpu.io.render import write_dataset
+    from multicol_slam_tpu.io.synthetic import make_world
+    from multicol_slam_tpu.io.trajectory import ate_rmse, load_tum_trajectory
+    from multicol_slam_tpu.utils.config import load_rig
+
+    if not os.path.isdir(LAFIDA_CALIB):
+        print(json.dumps({"metric": "real_calib_ate_rmse", "value": None,
+                          "unit": "m", "skipped": "no reference calibration dir"}))
+        return 0
+    rig = load_rig(LAFIDA_CALIB)
+    # period 400 -> walking-speed motion at the 25 fps camera rate (the
+    # profile the reference's keyframe-cadence constants are tuned for)
+    world = make_world(n_points=2400, n_frames=n_frames, n_cams=rig.n_cams,
+                       n_feats=400, noise_px=0.0, trajectory="circle_noyaw",
+                       radius=3.0, seed=11, period=400,
+                       landmarks="room", max_vis_dist=12.0, rig=rig)
+    seq_dir = write_dataset(world, out_dir)
+    # overwrite the auto-generated settings with the reference's Lafida
+    # extractor load (Slam_Settings_indoor1.yaml:11-38: 400 feats, 8 levels)
+    with open(os.path.join(seq_dir, "Slam_Settings_synthetic.yaml"), "w") as f:
+        f.write("%YAML:1.0\n\nCamera.fps: 25.0\nCamera.RGB: 0\n")
+        f.write("extractor.usemdBRIEF: 0\nextractor.masks: 0\nextractor.useAgast: 0\n")
+        f.write("extractor.fastAgastType: 2\nextractor.descSize: 32\n")
+        f.write("extractor.nFeatures: 400\nextractor.scaleFactor: 1.2\n")
+        f.write("extractor.nLevels: 8\nextractor.fastTh: 20\n")
+        f.write("extractor.nScoreType: 0\nUseMotionModel: 1\n")
+        f.write(f"traj.StartFrame: 1\ntraj.EndFrame: {n_frames + 1}\n")
+
+    from multicol_slam_tpu.cli import main as cli_main
+
+    traj_path = os.path.join(out_dir, "MKFTrajectoryLAFIDA.txt")
+    cwd = os.getcwd()
+    os.chdir(out_dir)
+    t0 = time.perf_counter()
+    try:
+        # calib_dir = the REAL reference files (LoadMCS path, cSystem.cpp:125-180)
+        cli_main(["no_voc.yml",
+                  os.path.join(seq_dir, "Slam_Settings_synthetic.yaml"),
+                  LAFIDA_CALIB, seq_dir, "--sync-mapping"])
+    finally:
+        os.chdir(cwd)
+    wall = time.perf_counter() - t0
+    est_t, est_xyz = load_tum_trajectory(traj_path)
+    ate = ate_rmse(est_t, est_xyz, world.timestamps, world.poses[:, 3:6])
+    result = {
+        "metric": "real_calib_ate_rmse",
+        "value": round(float(ate), 5),
+        "unit": f"m (Sim3-aligned, {len(est_t)}/{n_frames} frames, REAL Lafida "
+                f"754x480 calibration, 400 feats x 8 levels, full pixel pipeline)",
+        "frames_tracked": int(len(est_t)),
+        "n_frames": n_frames,
+        "wall_s": round(wall, 1),
+    }
+    print(json.dumps(result))
+    return 0 if np.isfinite(ate) else 1
+
+
+def _selfcal(n_frames: int):
+    """Self-calibrating BA (BASELINE config 4): track a sequence with the
+    TRUE rig (oracle features — isolates the calibration estimation), then
+    perturb the non-anchor cameras' extrinsics, free them in GBA
+    (cOptimizer.cpp:141-158 keeps these vertices fixed; we turn them on) and
+    measure the recovered extrinsic error. Success: >=10x error reduction."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multicol_slam_tpu.utils.jaxcache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from multicol_slam_tpu.io.synthetic import make_world
+    from multicol_slam_tpu.optim.ba import bundle_adjust_jit
+    from multicol_slam_tpu.optim.problem import BAParams, FreeMask, Observations
+    from multicol_slam_tpu.slam.map_store import MapConfig, cayley_to_hom_np
+    from multicol_slam_tpu.slam.system import MultiColSLAM
+    from multicol_slam_tpu.utils.config import ExtractorSettings, SlamSettings
+
+    world = make_world(n_points=900, n_frames=n_frames, n_cams=3, n_feats=250,
+                       noise_px=0.15, trajectory="circle_noyaw", radius=3.0,
+                       seed=3, period=n_frames)
+    settings = SlamSettings(fps=10.0, extractor=ExtractorSettings(
+        n_features=world.n_feats, n_levels=1))
+    cfg = MapConfig(max_keyframes=64, max_points=12000, n_cams=3,
+                    feats_per_cam=world.n_feats, n_levels=1)
+    slam = MultiColSLAM(world.rig, settings, cfg, use_loop_closing=False)
+    for t in range(n_frames):
+        slam.track(feats=world.frame_features(t), timestamp=world.timestamps[t])
+    s = slam.store
+    kfs = s.active_kfs()
+
+    def mc_err(mc_a, mc_b):
+        """Mean SE3 discrepancy (rot rad + trans m) across cameras."""
+        e = 0.0
+        for c in range(len(mc_a)):
+            Ta = cayley_to_hom_np(np.asarray(mc_a[c], np.float32))
+            Tb = cayley_to_hom_np(np.asarray(mc_b[c], np.float32))
+            D = np.linalg.inv(Ta) @ Tb
+            rot = np.arccos(np.clip((np.trace(D[:3, :3]) - 1) / 2, -1, 1))
+            e += rot + np.linalg.norm(D[:3, 3])
+        return e / len(mc_a)
+
+    # perturb cams 1..C-1 (cam0 = gauge anchor): ~1 deg rotation + cm-level
+    # translation — realistic calibration decay
+    rng = np.random.default_rng(5)
+    mc_true = np.asarray(world.rig.Mc_cayley, np.float32)
+    mc_pert = mc_true.copy()
+    mc_pert[1:, :3] += rng.normal(0, 0.008, mc_pert[1:, :3].shape).astype(np.float32)
+    mc_pert[1:, 3:] += rng.normal(0, 0.02, mc_pert[1:, 3:].shape).astype(np.float32)
+    err0 = mc_err(mc_pert, mc_true)
+
+    prob = s.ba_problem(kfs[1:], kfs[:1])
+    from multicol_slam_tpu.slam.local_mapping import _bucket4
+
+    nK, nP, nO = len(prob["kf_ids"]), len(prob["pt_ids"]), len(prob["obs_kf"])
+    pK, pP, pO = _bucket4(nK, 8), _bucket4(nP, 256), _bucket4(nO, 1024)
+    params = BAParams(
+        jnp.asarray(np.pad(prob["poses"], ((0, pK - nK), (0, 0)))),
+        jnp.asarray(np.pad(prob["points"], ((0, pP - nP), (0, 0)))),
+        jnp.asarray(mc_pert),
+        jnp.asarray(world.rig.cams.to_vector()),
+    )
+    obs = Observations(
+        jnp.asarray(np.pad(prob["obs_kf"], (0, pO - nO))),
+        jnp.asarray(np.pad(prob["obs_pt"], (0, pO - nO))),
+        jnp.asarray(np.pad(prob["obs_cam"], (0, pO - nO))),
+        jnp.asarray(np.pad(prob["obs_uv"], ((0, pO - nO), (0, 0)))),
+        jnp.asarray(np.pad(prob["obs_inv_sigma2"], (0, pO - nO))),
+        jnp.asarray(np.arange(pO) < nO),
+    )
+    mc_free = np.ones(3, bool)
+    mc_free[0] = False  # gauge: anchor camera 0's extrinsic
+    free = FreeMask(
+        poses=jnp.asarray(np.arange(pK) < prob["n_free_kf"]),
+        points=jnp.asarray(np.arange(pP) < nP),
+        mc=jnp.asarray(mc_free),
+    )
+    out, _ = bundle_adjust_jit(params, obs, free, max_iters=25, cg_iters=40)
+    err1 = mc_err(np.asarray(out.mc), mc_true)
+    result = {
+        "metric": "selfcal_extrinsic_error_reduction",
+        "value": round(float(err0 / max(err1, 1e-12)), 1),
+        "unit": f"x (injected {err0:.4f} -> recovered {err1:.4f} rad+m mean, "
+                f"{nK} KFs, {nO} obs, cams 1-2 free, cam0 gauge-anchored)",
+        "err_injected": round(float(err0), 5),
+        "err_recovered": round(float(err1), 5),
+        "n_keyframes": int(nK),
+        "n_obs": int(nO),
+    }
+    print(json.dumps(result))
+    return 0 if err1 * 10.0 <= err0 else 1
 
 
 if __name__ == "__main__":

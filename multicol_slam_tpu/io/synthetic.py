@@ -60,24 +60,11 @@ class SyntheticWorld:
     # observed (25 = the reference's distance gate; smaller values create
     # genuine loop structure where places leave view and reappear)
     max_vis_dist: float = 25.0
-    # Optional odometric-drift injection: drifts[t] is a 4x4 SE3 D(t) applied
-    # to the LANDMARKS ONLY (not the pose) when synthesizing frame t. Within
-    # one frame all cameras of the rig consistently observe the rigidly-moved
-    # world D(t)·X from the true pose M_t, so the frame is self-consistent;
-    # between frames the world creeps by D(t+1)∘D(t)^-1, which a tracker can
-    # only absorb into its pose estimate — the textbook odometric-drift
-    # recurrence. Old map regions keep their old gauge, so by the time a
-    # trajectory revisits its start the estimate carries ~D(T) of error
-    # against landmarks stored near D(0)·X ≈ X: a REAL loop-closure gap.
-    # (Applying D to both pose and landmarks, as an earlier revision did, is
-    # a projective no-op — the transforms cancel and no drift is injected.)
-    drifts: Optional[np.ndarray] = None   # [T, 4, 4] or None
 
     def frame_features(self, t: int) -> FrameFeatures:
-        world_T = None if self.drifts is None else self.drifts[t]
         return synthesize_features(
             self.rig, self.points, self.descs, self.poses[t], self.n_feats,
-            noise_px=self.noise_px, seed=self.seed * 100003 + t, world_T=world_T,
+            noise_px=self.noise_px, seed=self.seed * 100003 + t,
             max_vis_dist=self.max_vis_dist,
         )
 
@@ -92,19 +79,38 @@ def make_world(
     radius: float = 4.0,
     seed: int = 0,
     period: Optional[int] = None,
-    drift_rate: float = 0.0,
     max_vis_dist: float = 25.0,
     landmarks: str = "ring",
+    rig: Optional[MultiCamRig] = None,
 ) -> SyntheticWorld:
     """`period`: frames per lap for circular trajectories (defaults to
     n_frames = exactly one lap; smaller values revisit the start).
-    `drift_rate`: per-frame odometric drift magnitude — D(t) is a smooth SE3
-    with yaw ~ drift_rate*t rad and translation ~ drift_rate*t*radius,
-    injected rigidly per frame (see SyntheticWorld.drifts)."""
+    `rig`: use this rig instead of the default mild-fisheye synthetic one —
+    e.g. the REAL Lafida helmet rig loaded with utils.config.load_rig, so the
+    real 754x480 polynomials / cde skew / mirror geometry are exercised.
+    `landmarks='room'`: walls + ceiling layout for rigs with upward-looking
+    cameras (the Lafida helmet's cam2 looks along body +z)."""
     rng = np.random.default_rng(seed)
-    rig = make_synthetic_rig(n_cams)
+    if rig is None:
+        rig = make_synthetic_rig(n_cams)
     ang = rng.uniform(0, 2 * np.pi, n_points)
-    if landmarks == "path":
+    if landmarks == "room":
+        # indoor room around the trajectory: cylindrical wall band plus a
+        # ceiling disk — every camera of an arbitrarily-oriented helmet rig
+        # (incl. straight-up) sees texture from everywhere on the path
+        n_wall = (2 * n_points) // 3
+        rr = radius + rng.uniform(1.5, 4.0, n_wall)
+        zw = rng.uniform(-1.0, 2.5, n_wall)
+        wall = np.stack(
+            [-radius + rr * np.cos(ang[:n_wall]), rr * np.sin(ang[:n_wall]), zw], -1
+        )
+        n_ceil = n_points - n_wall
+        rc = np.sqrt(rng.uniform(0.0, 1.0, n_ceil)) * (radius + 4.0)
+        ac = ang[n_wall:]
+        zc = rng.uniform(2.5, 4.0, n_ceil)
+        ceil = np.stack([-radius + rc * np.cos(ac), rc * np.sin(ac), zc], -1)
+        points = np.concatenate([wall, ceil]).astype(np.float32)
+    elif landmarks == "path":
         # landmarks hugging the circular PATH (center (-radius, 0)): combined
         # with a short max_vis_dist, each frame sees only a local arc — places
         # leave view and reappear, the precondition for loop-closure tests
@@ -139,20 +145,9 @@ def make_world(
         else:
             raise ValueError(trajectory)
     timestamps = np.arange(n_frames) / 25.0
-    drifts = None
-    if drift_rate > 0.0:
-        drifts = np.zeros((n_frames, 4, 4))
-        for t in range(n_frames):
-            yaw = drift_rate * t
-            c, s = np.cos(yaw), np.sin(yaw)
-            D = np.eye(4)
-            D[:2, :2] = [[c, -s], [s, c]]
-            D[0, 3] = drift_rate * t * radius * 0.5
-            D[2, 3] = drift_rate * t * radius * 0.25
-            drifts[t] = D
     return SyntheticWorld(
         rig, points, descs, poses, timestamps, n_feats, noise_px, seed,
-        max_vis_dist, drifts,
+        max_vis_dist,
     )
 
 
@@ -165,22 +160,14 @@ def synthesize_features(
     noise_px: float = 0.3,
     desc_flip_bits: int = 2,
     seed: int = 0,
-    world_T: Optional[np.ndarray] = None,
     max_vis_dist: float = 25.0,
 ) -> FrameFeatures:
     """Project landmarks into all cameras at the given body pose and emit a
-    padded FrameFeatures with noisy pixels + lightly-corrupted descriptors.
-    `world_T` (4x4) rigidly transforms the LANDMARKS only (odometric-drift
-    injection — see SyntheticWorld.drifts): the frame observes the moved
-    world D·X from the true pose, so a tracker integrating over frames with
-    growing world_T accumulates real drift against its earlier map."""
+    padded FrameFeatures with noisy pixels + lightly-corrupted descriptors."""
     rng = np.random.default_rng(seed)
     C = rig.n_cams
     B = descs.shape[1]
     Mt = np.asarray(cayley_to_hom(jnp.asarray(pose6, jnp.float32)))
-    if world_T is not None:
-        points = points @ np.asarray(world_T, np.float64)[:3, :3].T + world_T[:3, 3]
-        points = points.astype(np.float32)
     uv_list, ray_list, desc_list, valid_list = [], [], [], []
     from multicol_slam_tpu.models.camera import cam_img_to_world, cam_world_to_img
 

@@ -54,14 +54,20 @@ class LMConfig(NamedTuple):
 
 
 def _mask_params(d: BAParams, free: FreeMask) -> BAParams:
-    """Zero the update on fixed variable groups."""
+    """Zero the update on fixed variable groups. free.mc / free.intr may be a
+    scalar bool (all cameras) or a per-camera [C] mask — a per-camera mask
+    pins the gauge in self-calibrating BA (fix one camera's extrinsic, free
+    the rest; the reference's g2o vertices support the same per-vertex
+    setFixed, cOptimizer.cpp:141-158)."""
     mc_m = jnp.asarray(free.mc, jnp.float32)
     intr_m = jnp.asarray(free.intr, jnp.float32)
+    mc_m = mc_m[:, None] if mc_m.ndim == 1 else jnp.broadcast_to(mc_m, ())
+    intr_m = intr_m[:, None] if intr_m.ndim == 1 else jnp.broadcast_to(intr_m, ())
     return BAParams(
         d.poses * free.poses[:, None].astype(d.poses.dtype),
         d.points * free.points[:, None].astype(d.points.dtype),
-        d.mc * jnp.broadcast_to(mc_m, ()).astype(d.mc.dtype),
-        d.intr * jnp.broadcast_to(intr_m, ()).astype(d.intr.dtype),
+        d.mc * mc_m.astype(d.mc.dtype),
+        d.intr * intr_m.astype(d.intr.dtype),
     )
 
 

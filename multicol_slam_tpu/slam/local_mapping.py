@@ -241,6 +241,12 @@ class LocalMapper:
         # when mapping runs on a worker sharing the chip with tracking
         # (MultiColSLAM._yield_to_tracker); None in the sequential pipeline
         self.yield_gate = None
+        # consecutive keyframes whose BA was deferred by interrupt pressure
+        self._ba_deferred = 0
+
+    # BA starvation bound: force a (non-interruptible) local BA at least
+    # every N keyframes under sustained queue pressure (see run())
+    MAX_BA_DEFERRALS = 3
 
     def _yield(self):
         if self.yield_gate is not None:
@@ -671,8 +677,21 @@ class LocalMapper:
             self.cull_map_points(k)
         n_new = self.create_new_points(k)
         self.fuse_neighbors(k)
-        if do_ba and self.store.kf_valid.sum() >= 3 and not (interrupt and interrupt()):
-            self.local_ba(k, interrupt=interrupt)
+        # Starvation bound: under sustained keyframe pressure `interrupt` is
+        # true on every pass and BA would only ever run on the LAST queued
+        # keyframe (the reference has the same failure shape — InterruptBA
+        # aborts every solve while insertions keep coming). Force a BA pass
+        # at least every MAX_BA_DEFERRALS keyframes so map quality cannot
+        # degrade silently if the producer outruns the mapper.
+        force_ba = self._ba_deferred >= self.MAX_BA_DEFERRALS
+        skip_ba = interrupt is not None and interrupt() and not force_ba
+        if do_ba and self.store.kf_valid.sum() >= 3 and not skip_ba:
+            self._ba_deferred = 0
+            # a forced pass runs to completion (non-interruptible), otherwise
+            # the queue pressure that caused the deferrals aborts it again
+            self.local_ba(k, interrupt=None if force_ba else interrupt)
+        elif do_ba:
+            self._ba_deferred += 1
         with self.lock:
             self.cull_keyframes(k)
         return n_new

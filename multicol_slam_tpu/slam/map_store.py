@@ -148,6 +148,38 @@ class MapStore:
         # closer's BoW inverted file — mpKeyFrameDB->erase in the reference)
         self.on_kf_erased: List = []
 
+    # ------------------------------------------------------------ capacity
+    def _grow_axis0(self, names, old_n: int, new_n: int, fills):
+        for name, fill in zip(names, fills):
+            a = getattr(self, name)
+            grown = np.full((new_n,) + a.shape[1:], fill, a.dtype)
+            grown[:old_n] = a
+            setattr(self, name, grown)
+
+    def _grow_keyframes(self):
+        old, new = self.cfg.max_keyframes, 2 * self.cfg.max_keyframes
+        self._grow_axis0(
+            ["kf_valid", "kf_pose", "kf_timestamp", "kf_frame_id", "kf_uv",
+             "kf_rays", "kf_octave", "kf_angle", "kf_desc", "kf_dmask",
+             "kf_feat_valid", "kf_point"],
+            old, new,
+            [False, 0, 0, -1, 0, 0, 0, 0, 0, 255, False, BAD_ID],
+        )
+        self.cfg.max_keyframes = new
+        print(f"[multicol-slam] map grew: keyframe capacity {old} -> {new}")
+
+    def _grow_points(self):
+        old, new = self.cfg.max_points, 2 * self.cfg.max_points
+        self._grow_axis0(
+            ["pt_valid", "pt_X", "pt_normal", "pt_min_dist", "pt_max_dist",
+             "pt_desc", "pt_dmask", "pt_first_kf", "pt_visible", "pt_found",
+             "pt_created_kfid", "pt_nobs"],
+            old, new,
+            [False, 0, 0, 0, 0, 0, 255, BAD_ID, 0, 0, 0, 0],
+        )
+        self.cfg.max_points = new
+        print(f"[multicol-slam] map grew: point capacity {old} -> {new}")
+
     # ------------------------------------------------------------------ kfs
     def add_keyframe(self, pose6, feats, timestamp: float, frame_id: int) -> int:
         """feats: FrameFeatures pytree (host arrays ok). Returns kf id."""
@@ -156,7 +188,12 @@ class MapStore:
         else:
             k = self.n_kf
             if k >= self.cfg.max_keyframes:
-                raise RuntimeError("keyframe capacity exceeded")
+                # overflow policy: grow with doubling (the reference's map is
+                # unbounded and relies on culling, cLocalMapping.cpp:520-597;
+                # a long run must degrade gracefully, never crash). Downstream
+                # jit programs bucket their shapes dynamically, so growth only
+                # costs a rebucket compile on first use of the larger size.
+                self._grow_keyframes()
             self.n_kf += 1
         C, Kf = np.asarray(feats.uv).shape[:2]
         F = self.cfg.feats_per_kf
@@ -215,7 +252,7 @@ class MapStore:
         else:
             p = self.n_pt_alloc
             if p >= self.cfg.max_points:
-                raise RuntimeError("point capacity exceeded")
+                self._grow_points()  # see _grow_keyframes
             self.n_pt_alloc += 1
         self.pt_valid[p] = True
         self.pt_X[p] = X

@@ -359,6 +359,11 @@ class MultiColSLAM:
                 th_desc=self.th_track, min_pose_inliers=MIN_POSE_INLIERS,
                 use_masks=self.use_masks,
             )
+            # enqueue the device->host copy NOW, before blocking: on a
+            # remote/tunneled device the transfer request then rides the same
+            # stream as the compute instead of paying a second full RPC round
+            # trip after compute finishes
+            packed.copy_to_host_async()
             _, n1, pose_f2, n_match2, n_inl, assign, inl = unpack_fused(np.asarray(packed))
             if n_inl < MIN_TRACK_INLIERS and n1 < MIN_POSE_INLIERS:
                 # rare host path — TrackPreviousFrame coarse->fine protocol
@@ -556,7 +561,10 @@ class MultiColSLAM:
         (our DLT+Procrustes replacing OpenGV GP3P, thr/iters per :1274-1275)
         -> refinement + local-map pose optimization; accept >=10 inliers."""
         from multicol_slam_tpu.ops.matching import hamming_matrix
-        from multicol_slam_tpu.ops.ransac import ransac_noncentral_pose
+        from multicol_slam_tpu.ops.ransac import (
+            ransac_noncentral_pose,
+            refine_noncentral_pose,
+        )
         from multicol_slam_tpu.utils.geometry import cayley_to_rot
 
         s = self.store
@@ -640,7 +648,16 @@ class MultiColSLAM:
             )
             if int(res.n_inliers) < 10:
                 continue
-            pose = np.asarray(hom_to_cayley(jnp.asarray(res.Mt)))
+            # gpnp-style refinement on the RANSAC inlier set before the
+            # local-map confirmation (cTracking.cpp:1292 refines with OpenGV
+            # gpnp after the GP3P RANSAC)
+            Mt_ref = refine_noncentral_pose(
+                jnp.asarray(Xw), jnp.asarray(rays_p),
+                jnp.asarray(Rc_all[cam_idx], jnp.float32),
+                jnp.asarray(tc_all[cam_idx], jnp.float32),
+                res.inliers.astype(jnp.float32),
+            )
+            pose = np.asarray(hom_to_cayley(jnp.asarray(Mt_ref, jnp.float32)))
             # confirm by tracking the local map from the recovered pose
             local_pts = self._local_map_points(np.unique(pts))
             if len(local_pts) < 10:
