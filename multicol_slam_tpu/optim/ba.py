@@ -80,14 +80,17 @@ def bundle_adjust_interruptible(
     cg_iters: int = 20,
     interrupt=None,
     pre_step=None,
+    chunk_iters: int = 1,
 ) -> Tuple[BAParams, jnp.ndarray]:
-    """Local-BA variant driven one LM iteration per device program: abortable
-    between iterations (InterruptBA, cLocalMapping.cpp:515) and friendly to a
-    tracker sharing the device (see lm.lm_solve_interruptible)."""
+    """Local-BA variant driven `chunk_iters` LM iterations per device
+    program: abortable between chunks (InterruptBA, cLocalMapping.cpp:515)
+    and friendly to a tracker sharing the device (see
+    lm.lm_solve_interruptible for the chunk-size tradeoff)."""
     from multicol_slam_tpu.optim.lm import lm_solve_interruptible
 
     cfg = LMConfig(max_iters=max_iters, cg_iters=cg_iters, huber_delta=float(np.sqrt(CHI2_BA)))
-    return lm_solve_interruptible(params, obs, free, cfg, interrupt, pre_step)
+    return lm_solve_interruptible(params, obs, free, cfg, interrupt, pre_step,
+                                  chunk_iters=chunk_iters)
 
 
 def prune_observations(params: BAParams, obs: Observations, chi2_th: float = CHI2_BA):

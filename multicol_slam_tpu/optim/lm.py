@@ -30,6 +30,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from multicol_slam_tpu.optim.problem import (
     BAParams,
@@ -277,6 +278,22 @@ def _lm_step_jit(state: LMState, obs, free, config: LMConfig) -> LMState:
     return _lm_step_body(state, obs, free, config)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "chunk"))
+def _lm_chunk_jit(state: LMState, obs, free, config: LMConfig, chunk: int) -> LMState:
+    """Up to `chunk` more LM iterations in ONE device program (stops early on
+    the gain criterion)."""
+    limit = jnp.minimum(state.n_iters + chunk, config.max_iters)
+
+    def cond(s: LMState):
+        return (~s.done) & (s.n_iters < limit)
+
+    out = jax.lax.while_loop(cond, lambda s: _lm_step_body(s, obs, free, config), state)
+    # packed control scalars: the host reads ONE array per chunk (each
+    # distinct-array readback is a full RPC round trip on a tunneled device)
+    flags = jnp.stack([out.done.astype(jnp.float32), out.n_iters.astype(jnp.float32)])
+    return out, flags
+
+
 def lm_solve_interruptible(
     params: BAParams,
     obs: Observations,
@@ -284,25 +301,31 @@ def lm_solve_interruptible(
     config: LMConfig = LMConfig(),
     interrupt=None,
     pre_step=None,
+    chunk_iters: int = 1,
 ) -> Tuple[BAParams, jnp.ndarray]:
-    """Host-driven LM: ONE device program per LM iteration instead of the
-    whole solve in a single lax.while_loop program.
+    """Host-driven LM: the solve is split into device programs of
+    `chunk_iters` LM iterations each (the whole solve when chunk_iters >=
+    max_iters), with `interrupt()` checked between programs.
 
-    Two reasons to prefer this for local BA on a live system: (a) it is the
-    reference's InterruptBA (cLocalMapping.cpp:515) — `interrupt()` is
-    checked between iterations and the best-so-far result is returned when a
-    newer keyframe preempts the solve; (b) with mapping on a worker thread
-    sharing ONE device with tracking, a monolithic multi-hundred-ms solve
-    head-of-line-blocks every tracking kernel behind it, while per-iteration
-    programs (~tens of ms) let tracking interleave. The `done` readback per
-    step doubles as the queue-depth limiter. `pre_step()` runs before each
+    Why host-driven instead of lm_solve's single while_loop program: (a) it
+    is the reference's InterruptBA (cLocalMapping.cpp:515) — the best-so-far
+    result is returned when a newer keyframe preempts the solve; (b) with
+    mapping on a worker sharing ONE device with tracking, the chunk size
+    bounds how long a mapping program can head-of-line-block a tracking
+    kernel. Pick chunk_iters by device locality: on a remote/tunneled device
+    every `done` readback costs a full RPC round trip, so larger chunks win
+    (the per-chunk compute is ms-scale); on a locally-attached chip
+    chunk_iters=1 gives the finest preemption. `pre_step()` runs before each
     dispatch (the tracker-priority yield gate)."""
     state = _lm_init_jit(params, obs, config)
-    for _ in range(config.max_iters):
+    it = 0
+    while it < config.max_iters:
         if pre_step is not None:
             pre_step()
-        state = _lm_step_jit(state, obs, free, config)
-        if bool(state.done):
+        state, flags = _lm_chunk_jit(state, obs, free, config, max(chunk_iters, 1))
+        flags.copy_to_host_async()
+        done, it = np.asarray(flags)
+        if done > 0.5:
             break
         if interrupt is not None and interrupt():
             break

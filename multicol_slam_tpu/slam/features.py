@@ -169,6 +169,11 @@ def extract_features(
     """
     n_feats = int(n_features or settings.n_features)
     th = float(fast_th if fast_th is not None else settings.fast_th)
+    # accept uint8 frames and cast ON DEVICE: hosts should upload camera
+    # images in their native 1-byte depth (a f32 host cast quadruples the
+    # host->device transfer — ~4.3 MB/frame at Lafida shape, the dominant
+    # per-frame cost on a bandwidth-limited link)
+    images = images.astype(jnp.float32)
     C, H, W = images.shape
     pyr = image_ops.build_pyramid(images, settings.n_levels, settings.scale_factor)
     quotas = fast_ops.level_quota(n_feats, settings.n_levels, settings.scale_factor)

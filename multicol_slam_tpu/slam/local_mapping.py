@@ -618,9 +618,14 @@ class LocalMapper:
         )
         from multicol_slam_tpu.optim.ba import bundle_adjust_interruptible
 
+        # chunk of 5 LM iterations per device program: each chunk's compute
+        # is ms-scale, but every inter-chunk control readback is a full RPC
+        # round trip on a tunneled device — 2 chunks for the 10-iteration
+        # solve keeps InterruptBA preemption (checked between chunks) while
+        # cutting the solve's round trips 5x
         out, _ = bundle_adjust_interruptible(params, obs, free, max_iters=max_iters,
                                              cg_iters=24, interrupt=interrupt,
-                                             pre_step=self._yield)
+                                             pre_step=self._yield, chunk_iters=5)
         return out, obs, nK, nP, nO
 
     def _writeback_ba(self, prob, out, obs, nK, nP, nO):

@@ -170,6 +170,18 @@ class MultiColSLAM:
         self.map_resumed = False
 
     # ------------------------------------------------------------------
+    def prepare(self, images) -> FrameFeatures:
+        """Dispatch upload + feature extraction for a frame WITHOUT blocking.
+        Call one frame ahead and pass the result to track(feats=...): the
+        image transfer and extraction compute then overlap the previous
+        frame's readback / real-time pacing gap instead of sitting on the
+        critical path (the reference overlaps extraction with OpenMP worker
+        threads, cMultiFrame.cpp:128; on an accelerator the same overlap
+        falls out of async dispatch)."""
+        return extract_features_jit(
+            jnp.asarray(images), self.rig.cams, self.settings.extractor
+        )
+
     def track(self, images=None, feats: Optional[FrameFeatures] = None, timestamp: float = 0.0) -> FrameMetrics:
         """TrackMultiColSLAM (cSystem.cpp:182) + cTracking::Track (:237).
         Accepts raw images [C, H, W] or precomputed FrameFeatures (the test
@@ -183,8 +195,10 @@ class MultiColSLAM:
         try:
             self.frame_id += 1
             if feats is None:
+                # upload in the native dtype (uint8 camera frames stay 1 B/px
+                # on the wire); extract_features casts on device
                 feats = extract_features_jit(
-                    jnp.asarray(images, jnp.float32), self.rig.cams, self.settings.extractor
+                    jnp.asarray(images), self.rig.cams, self.settings.extractor
                 )
             m = FrameMetrics(self.frame_id, timestamp, self.state, self.last_pose.copy())
             if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):

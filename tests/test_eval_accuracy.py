@@ -50,7 +50,9 @@ def test_real_calibration_ate(tmp_path, capsys):
 
     if not os.path.isdir(eval_mod.LAFIDA_CALIB):
         pytest.skip("reference calibration not available")
-    rc = eval_mod.main(["--frames", "18", "--out", str(tmp_path / "ds"),
+    # walking-speed motion: initialization waits ~8 frames for parallax, so
+    # give the run enough frames to track a meaningful tail
+    rc = eval_mod.main(["--frames", "24", "--out", str(tmp_path / "ds"),
                         "--real-calib"])
     assert rc == 0
     line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
