@@ -118,16 +118,14 @@ def main():
             valid=jnp.asarray(np.arange(cap) < na),
         )
 
-    pts2 = make_pts(L, X, D, n)                     # local-map stage block
-    L1 = C * settings.n_features                    # stage-1 cap (feats_per_kf)
-    pts1 = make_pts(L1, X[:L1], D[:L1], min(n, L1))
+    pts2 = make_pts(L, X, D, n)   # the ONE local-map block both stages share
     # perturbed start pose: ~0.5 deg rotation + 3 cm translation, the typical
     # motion-model prediction error the pose stages must absorb
     pose0 = jnp.asarray(np.array([0.002, -0.003, 0.002, 0.02, -0.015, 0.01], np.float32))
 
     def frame(images):
         feats = extract_features_jit(images, rig.cams, settings)
-        return track_frame_fused(mc6, intr, rig.cams, feats, pose0, pts1, pts2,
+        return track_frame_fused(mc6, intr, rig.cams, feats, pose0, pts2, pts2,
                                  radius1=15.0, radius2=4.0, th_desc=96.0)
 
     # warmup/compile
@@ -200,11 +198,15 @@ def _pipeline_latency(rig, ex_settings, n_frames: int = 64):
         kf_frames = 0
         period = 1.0 / 25.0
         next_t = time.perf_counter()
-        # one-frame prefetch, like the CLI: a frame's upload + extraction are
-        # dispatched during the previous frame's readback / pacing gap (the
-        # extraction still runs on the same chip every frame — its device
-        # time is in the pipeline, off the blocking path)
+        # real-time software pipeline: frame t's result readback (a full RPC
+        # round trip on a tunneled device) is consumed at the START of frame
+        # t+1 — by then it has completed during the pacing sleep — and the
+        # next frame's upload + extraction are prefetched between dispatch
+        # and consumption. Per-frame blocking time = track_finish(t-1) +
+        # track_begin(t); the result lags by one camera period, the standard
+        # streaming-tracker latency/throughput tradeoff.
         pending = slam.prepare(images[0])
+        h = None
         for t in range(n_frames):
             if paced:
                 now = time.perf_counter()
@@ -212,11 +214,15 @@ def _pipeline_latency(rig, ex_settings, n_frames: int = 64):
                     time.sleep(next_t - now)
                 next_t = max(next_t + period, time.perf_counter())
             t0 = time.perf_counter()
-            m = slam.track(feats=pending, timestamp=world.timestamps[t])
+            if h is not None:
+                m = slam.track_finish(h)
+                kf_frames += int(m.is_keyframe)
+            h = slam.track_begin(feats=pending, timestamp=world.timestamps[t])
             times.append((time.perf_counter() - t0) * 1e3)
             if t + 1 < n_frames:
                 pending = slam.prepare(images[t + 1])
-            kf_frames += int(m.is_keyframe)
+        m = slam.track_finish(h)
+        kf_frames += int(m.is_keyframe)
         n_tracked = sum(1 for m in slam.trajectory if m.state == 3)
         slam.wait_mapping_idle()
         slam.shutdown()
@@ -235,6 +241,7 @@ def _pipeline_latency(rig, ex_settings, n_frames: int = 64):
         "pipeline_kf_frames": kf_p,
         "pipeline_tracked_frames": trk_p,
         "pipeline_paced_25fps": True,
+        "pipeline_mode": "software-pipelined: per-frame blocking = finish(t-1)+begin(t); result lags one camera period",
         "pipeline_unpaced_p50_ms": round(float(np.percentile(arr_u, 50)), 2),
         "pipeline_unpaced_p95_ms": round(float(np.percentile(arr_u, 95)), 2),
         "pipeline_shape": f"{rig.n_cams}x754x480 {'real-calib' if real else 'synth-calib'}, "
@@ -274,13 +281,12 @@ def _prewarm_rare_paths(rig, settings, cfg):
     mc6 = jnp.asarray(np.asarray(rig.Mc_cayley, np.float32))
     intr = jnp.asarray(rig.cams.to_vector())
     pose = jnp.zeros(6)
-    lp1, lp2 = lp(cfg.feats_per_kf), lp(4096)
+    lp2 = lp(4096)
     th = 3.0 * B
     common = dict(scale_factor=ex.scale_factor, n_levels=ex.n_levels, th_desc=th)
     outs = [
-        track_frame_fused(mc6, intr, rig.cams, feats, pose, lp1, lp1,
+        track_frame_fused(mc6, intr, rig.cams, feats, pose, lp2, lp2,
                           radius1=60.0, radius2=40.0, **common),
-        track_stage(mc6, intr, rig.cams, feats, pose, lp2, radius=4.0, **common),
         track_stage(mc6, intr, rig.cams, feats, pose, lp2, radius=8.0, **common),
     ]
     jax.block_until_ready(outs)

@@ -58,6 +58,24 @@ KF_REF_RATIO = 0.9
 
 
 @dataclasses.dataclass
+class _FrameHandle:
+    """In-flight frame between track_begin and track_finish: the dispatched
+    fused program's packed result (an async device array) plus the host
+    state its consumption needs."""
+
+    feats: object
+    timestamp: float
+    m: "FrameMetrics"
+    t0: float
+    done: bool = False            # rare sync paths completed inside begin
+    no_candidates: bool = False   # local map too small — LOST path in finish
+    packed: object = None
+    lp2: object = None
+    pt_ids2: object = None
+    begin_ms: float = 0.0
+
+
+@dataclasses.dataclass
 class FrameMetrics:
     frame_id: int
     timestamp: float
@@ -138,8 +156,7 @@ class MultiColSLAM:
         self._interrupt_ba = False   # InterruptBA request (cLocalMapping.cpp:515)
         self._truncated_local_pts = 0  # observability: stage-2 cap drops
         self.trajectory: List[FrameMetrics] = []
-        # fixed capacities for the two tracking stages (static jit shapes)
-        self._stage1_cap = self.map_cfg.feats_per_kf
+        # fixed candidate capacity of the fused tracking program (static jit shape)
         self._stage2_cap = 4096
         self.localization_only = False
         self._force_reloc = False
@@ -147,6 +164,7 @@ class MultiColSLAM:
         self._worker = None
         self._frame_idle = None
         self._tracker_tid = None
+        self._pending: Optional[_FrameHandle] = None
         if async_mapping:
             import queue
             import threading
@@ -186,6 +204,19 @@ class MultiColSLAM:
         """TrackMultiColSLAM (cSystem.cpp:182) + cTracking::Track (:237).
         Accepts raw images [C, H, W] or precomputed FrameFeatures (the test
         oracle path)."""
+        return self.track_finish(self.track_begin(images=images, feats=feats, timestamp=timestamp))
+
+    def track_begin(self, images=None, feats: Optional[FrameFeatures] = None,
+                    timestamp: float = 0.0) -> "_FrameHandle":
+        """First half of a tracked frame: host candidate prep + the fused
+        tracking program's dispatch + an async result copy — returns WITHOUT
+        blocking on the device. A real-time caller dispatches here, sleeps
+        out the camera period (during which the result's RPC completes), and
+        calls track_finish to consume it: the device round-trip latency then
+        costs zero blocking time at the camera rate. track() = begin+finish
+        back-to-back (identical semantics, the round trip on the critical
+        path)."""
+        assert self._pending is None, "track_begin called with a frame still in flight"
         t0 = time.perf_counter()
         if self._frame_idle is not None:
             import threading
@@ -201,25 +232,41 @@ class MultiColSLAM:
                     jnp.asarray(images), self.rig.cams, self.settings.extractor
                 )
             m = FrameMetrics(self.frame_id, timestamp, self.state, self.last_pose.copy())
+            h = _FrameHandle(feats=feats, timestamp=timestamp, m=m, t0=t0)
             if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
                 if int(np.asarray(feats.valid).sum()) > MIN_INIT_KPS:
                     self.ref_feats = feats
                     self.state = INITIALIZING
                 else:
                     self.state = NOT_INITIALIZED
+                h.done = True
             elif self.state == INITIALIZING:
                 self._try_initialize(feats, timestamp)
+                h.done = True
             elif self.state in (WORKING, LOST):
-                self._track_frame(feats, timestamp, m)
-            self.last_feats = feats
-            m.state = self.state
-            m.pose = self.last_pose.copy()
-            m.track_ms = (time.perf_counter() - t0) * 1e3
-            self.trajectory.append(m)
-            return m
+                self._track_frame_begin(h)
+            h.begin_ms = (time.perf_counter() - t0) * 1e3
+            self._pending = h
+            return h
         finally:
             if self._frame_idle is not None:
                 self._frame_idle.set()
+
+    def track_finish(self, h: "_FrameHandle") -> FrameMetrics:
+        """Second half: consume the dispatched frame's packed result (the
+        readback), run the rare fallback paths, bookkeeping, and the
+        keyframe decision."""
+        t0 = time.perf_counter()
+        self._pending = None
+        m = h.m
+        if not h.done:
+            self._track_frame_finish(h)
+        self.last_feats = h.feats
+        m.state = self.state
+        m.pose = self.last_pose.copy()
+        m.track_ms = h.begin_ms + (time.perf_counter() - t0) * 1e3
+        self.trajectory.append(m)
+        return m
 
     def _yield_to_tracker(self):
         """Called by the mapping worker before each device dispatch: wait
@@ -330,8 +377,12 @@ class MultiColSLAM:
             if self.use_masks else None,
         ), pt_ids
 
-    def _track_frame(self, feats, timestamp, m: FrameMetrics):
+    def _track_frame_begin(self, h: "_FrameHandle"):
+        """Host prep + dispatch of the fused two-stage tracking program.
+        Rare synchronous paths (forced relocalization, no candidates) finish
+        inline and mark the handle done."""
         s = self.store
+        feats, m = h.feats, h.m
         sf = self.settings.extractor.scale_factor
         nl = self.settings.extractor.n_levels
         # ForceRelocalisation (cTracking.cpp:1340-1351): requested after a
@@ -342,6 +393,7 @@ class MultiColSLAM:
                 self.state = WORKING
             else:
                 self.state = LOST
+                h.done = True
                 return
         # ---- both tracking stages as ONE fused device program -------------
         # (motion-model stage + local-map stage, SURVEY.md §7 "one fused
@@ -355,30 +407,41 @@ class MultiColSLAM:
         pt_ids = np.unique(prev_pts[prev_pts >= 0]) if prev_pts is not None else np.empty(0, np.int64)
         pt_ids = pt_ids[s.pt_valid[pt_ids]] if len(pt_ids) else pt_ids
         local_pts = self._local_map_points(pt_ids)
+        if len(local_pts) < 10:
+            h.no_candidates = True
+            return
+        # ONE gathered local-map block serves both stages (the reference's
+        # TrackLocalMap also projects against the full local map,
+        # cTracking.cpp:961-1020; the motion-model stage is the same
+        # search at a wider radius from the predicted pose) — halves the
+        # per-frame host gather + upload work
+        lp2, pt_ids2 = self._gather_points(local_pts, self._stage2_cap)
+        packed = track_frame_fused(
+            self.mc6, self.intr, self.rig.cams, feats,
+            jnp.asarray(pose_pred, jnp.float32), lp2, lp2,
+            scale_factor=sf, n_levels=nl, radius1=15.0, radius2=4.0,
+            th_desc=self.th_track, min_pose_inliers=MIN_POSE_INLIERS,
+            use_masks=self.use_masks,
+        )
+        # enqueue the device->host copy NOW: on a remote/tunneled device the
+        # transfer request then rides the same stream as the compute instead
+        # of paying a second full RPC round trip after compute finishes
+        packed.copy_to_host_async()
+        h.packed = packed
+        h.lp2 = lp2
+        h.pt_ids2 = pt_ids2
+
+    def _track_frame_finish(self, h: "_FrameHandle"):
+        s = self.store
+        feats, m, timestamp = h.feats, h.m, h.timestamp
+        sf = self.settings.extractor.scale_factor
+        nl = self.settings.extractor.n_levels
         n_inl = 0
         ok = False
         assign_global = np.full(s.cfg.feats_per_kf, BAD_ID, np.int32)
-        have1 = len(pt_ids) >= 10
-        have2 = len(local_pts) >= 10
-        stage2_args = dict(scale_factor=sf, n_levels=nl, radius=4.0,
-                           th_desc=self.th_track, use_masks=self.use_masks)
-        if have1 and have2:
-            with self.map_lock:
-                lp1, _ = self._gather_points_locked(pt_ids, self._stage1_cap)
-                lp2, pt_ids2 = self._gather_points_locked(local_pts, self._stage2_cap)
-            packed = track_frame_fused(
-                self.mc6, self.intr, self.rig.cams, feats,
-                jnp.asarray(pose_pred, jnp.float32), lp1, lp2,
-                scale_factor=sf, n_levels=nl, radius1=15.0, radius2=4.0,
-                th_desc=self.th_track, min_pose_inliers=MIN_POSE_INLIERS,
-                use_masks=self.use_masks,
-            )
-            # enqueue the device->host copy NOW, before blocking: on a
-            # remote/tunneled device the transfer request then rides the same
-            # stream as the compute instead of paying a second full RPC round
-            # trip after compute finishes
-            packed.copy_to_host_async()
-            _, n1, pose_f2, n_match2, n_inl, assign, inl = unpack_fused(np.asarray(packed))
+        if h.packed is not None:
+            pt_ids2 = h.pt_ids2
+            _, n1, pose_f2, n_match2, n_inl, assign, inl = unpack_fused(np.asarray(h.packed))
             if n_inl < MIN_TRACK_INLIERS and n1 < MIN_POSE_INLIERS:
                 # rare host path — TrackPreviousFrame coarse->fine protocol
                 # (cTracking.cpp:731-795): wide window search + pose opt from
@@ -386,37 +449,13 @@ class MultiColSLAM:
                 # pose opt; fused into one two-stage program as well
                 packed = track_frame_fused(
                     self.mc6, self.intr, self.rig.cams, feats,
-                    jnp.asarray(self.last_pose, jnp.float32), lp1, lp1,
+                    jnp.asarray(self.last_pose, jnp.float32), h.lp2, h.lp2,
                     scale_factor=sf, n_levels=nl, radius1=60.0, radius2=40.0,
                     th_desc=self.th_track, min_pose_inliers=MIN_POSE_INLIERS,
                     use_masks=self.use_masks,
                 )
-                _, _, pose_w, _, n_w, _, _ = unpack_fused(np.asarray(packed))
-                if n_w >= MIN_POSE_INLIERS:
-                    # local-map stage from the recovered pose
-                    out2 = track_stage(
-                        self.mc6, self.intr, self.rig.cams, feats,
-                        jnp.asarray(pose_w, jnp.float32), lp2, **stage2_args)
-                    pose_f2, n_match2, n_inl, assign, inl = out2.fetch()
+                _, _, pose_f2, n_match2, n_inl, assign, inl = unpack_fused(np.asarray(packed))
             ok = n_inl >= MIN_TRACK_INLIERS
-        elif have2:
-            # no last-frame points (fresh reloc): local-map stage only
-            lp2, pt_ids2 = self._gather_points(local_pts, self._stage2_cap)
-            out2 = track_stage(
-                self.mc6, self.intr, self.rig.cams, feats,
-                jnp.asarray(pose_pred, jnp.float32), lp2, **stage2_args)
-            pose_f2, n_match2, n_inl, assign, inl = out2.fetch()
-            ok = n_inl >= MIN_TRACK_INLIERS
-        elif have1:
-            # degenerate tiny map: motion-model stage only
-            lp1, pt_ids2 = self._gather_points(pt_ids, self._stage1_cap)
-            out1 = track_stage(
-                self.mc6, self.intr, self.rig.cams, feats,
-                jnp.asarray(pose_pred, jnp.float32), lp1,
-                scale_factor=sf, n_levels=nl, radius=15.0,
-                th_desc=self.th_track, use_masks=self.use_masks)
-            pose_f2, n_match2, n_inl, assign, inl = out1.fetch()
-            ok = n_inl >= MIN_POSE_INLIERS
         if ok:
             self._finish_frame(pose_f2)
             matched = (assign >= 0) & inl

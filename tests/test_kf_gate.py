@@ -1,0 +1,43 @@
+"""NeedNewKeyFrame fidelity (cTracking.cpp:897-946, VERDICT r3 'missing #3'):
+((c1a | c1b) & c2) & curBaseline2MKF > 0.2 — a stationary rig must stop
+inserting keyframes once the map has converged, because the baseline to the
+reference keyframe never exceeds 0.2 m."""
+import numpy as np
+
+from multicol_slam_tpu.io.synthetic import make_world, synthesize_features
+from multicol_slam_tpu.slam.map_store import MapConfig
+from multicol_slam_tpu.slam.system import WORKING, MultiColSLAM
+from multicol_slam_tpu.utils.config import ExtractorSettings, SlamSettings
+
+
+def test_stationary_rig_inserts_no_keyframes():
+    world = make_world(n_points=1500, n_frames=50, n_cams=3, n_feats=150,
+                       noise_px=0.3, trajectory="circle_noyaw", radius=3.0,
+                       seed=7, period=85, max_vis_dist=3.0, landmarks="path")
+    settings = SlamSettings(fps=7.5, extractor=ExtractorSettings(
+        n_features=world.n_feats, n_levels=1, scale_factor=1.2))
+    cfg = MapConfig(max_keyframes=64, max_points=8000, n_cams=3,
+                    feats_per_cam=world.n_feats, n_levels=1)
+    slam = MultiColSLAM(world.rig, settings, cfg, use_loop_closing=False)
+    # moving phase: drive the map up (c2 fires as points leave the 3 m
+    # visibility band, baseline grows past 0.2 every few frames)
+    for t in range(50):
+        slam.track(feats=world.frame_features(t), timestamp=world.timestamps[t])
+    kfs_moving = int(slam.store.kf_valid.sum())
+    assert slam.state == WORKING
+    assert kfs_moving >= 3, f"moving phase should insert keyframes, got {kfs_moving}"
+    # stationary phase: same pose, fresh measurement noise each frame —
+    # c1a elapses several times (maxFrames = 2*7.5/3 = 5) but the baseline
+    # gate must refuse every insertion
+    pose = world.poses[49]
+    for i in range(30):
+        feats = synthesize_features(world.rig, world.points, world.descs, pose,
+                                    world.n_feats, noise_px=0.3,
+                                    seed=90000 + i, max_vis_dist=3.0)
+        slam.track(feats=feats, timestamp=world.timestamps[49] + 0.04 * (i + 1))
+    assert slam.state == WORKING, "tracking must survive the stationary phase"
+    kfs_stationary = int(slam.store.kf_valid.sum())
+    assert kfs_stationary == kfs_moving, (
+        f"stationary rig inserted keyframes: {kfs_moving} -> {kfs_stationary} "
+        f"(curBaseline2MKF>0.2 gate, cTracking.cpp:928)"
+    )

@@ -125,6 +125,30 @@ def test_loop_closing_corrects_drift():
     loops = {}
     for use_loops in (False, True):
         slam = build_slam(world, use_loops=use_loops, fps=7.5)
+        if use_loops:
+            # lock discipline (cLoopClosing.cpp:464-490: tracking keeps
+            # running during CorrectLoop): no SearchAndFuse device dispatch
+            # may happen while the map lock is held — snapshot->device->commit
+            class RecordingLock:
+                def __init__(self):
+                    self.held = False
+
+                def __enter__(self):
+                    self.held = True
+
+                def __exit__(self, *a):
+                    self.held = False
+
+            rlock = RecordingLock()
+            lc = slam.loop_closer
+            lc.lock = rlock
+            orig_project = lc._project_loop_points
+
+            def checked_project(*a, **k):
+                assert not rlock.held, "fuse dispatch while map lock held"
+                return orig_project(*a, **k)
+
+            lc._project_loop_points = checked_project
         for t in range(n_frames):
             slam.track(feats=world.frame_features(t), timestamp=world.timestamps[t])
         working = [m for m in slam.trajectory if m.state == WORKING]
