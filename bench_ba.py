@@ -53,12 +53,19 @@ def main(argv=None):
     from multicol_slam_tpu.parallel.ba import distributed_bundle_adjust, make_mesh
     from multicol_slam_tpu.parallel.distributed import make_large_ba_problem
 
+    import jax.numpy as jnp
+
     noisy, gt, obs, free = make_large_ba_problem(
         n_kfs=64, n_points=50_000, n_obs=500_000
     )
+    # sort the observation table by point id (scatter locality; contiguous
+    # shards of a sorted table stay sorted for the distributed path)
+    order = np.argsort(np.asarray(obs.pt), kind="stable")
+    obs = type(obs)(*(jnp.asarray(np.asarray(c)[order]) for c in obs))
     n_lm = 10
     # gain_eps=0: run ALL n_lm iterations (stable timing, no early-out)
-    cfg = LMConfig(max_iters=n_lm, cg_iters=20, gain_eps=0.0)
+    cfg = LMConfig(max_iters=n_lm, cg_iters=20, gain_eps=0.0,
+                   solve_mc=False, solve_intr=False)
 
     import functools
 

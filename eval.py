@@ -251,7 +251,7 @@ def _selfcal(n_frames: int):
     )
     obs = Observations(
         jnp.asarray(np.pad(prob["obs_kf"], (0, pO - nO))),
-        jnp.asarray(np.pad(prob["obs_pt"], (0, pO - nO))),
+        jnp.asarray(np.pad(prob["obs_pt"], (0, pO - nO), constant_values=pP - 1)),
         jnp.asarray(np.pad(prob["obs_cam"], (0, pO - nO))),
         jnp.asarray(np.pad(prob["obs_uv"], ((0, pO - nO), (0, 0)))),
         jnp.asarray(np.pad(prob["obs_inv_sigma2"], (0, pO - nO))),
@@ -264,7 +264,8 @@ def _selfcal(n_frames: int):
         points=jnp.asarray(np.arange(pP) < nP),
         mc=jnp.asarray(mc_free),
     )
-    out, _ = bundle_adjust_jit(params, obs, free, max_iters=25, cg_iters=40)
+    out, _ = bundle_adjust_jit(params, obs, free, max_iters=25, cg_iters=40,
+                               solve_mc=True)
     err1 = mc_err(np.asarray(out.mc), mc_true)
     result = {
         "metric": "selfcal_extrinsic_error_reduction",

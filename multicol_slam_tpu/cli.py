@@ -169,11 +169,14 @@ def main(argv=None):
     for i, (t, imgs) in enumerate(zip(stamps, files)):
         feats_cur, images_cur = pending, images
         t0 = time.perf_counter()
-        m = slam.track(feats=feats_cur, timestamp=t)
-        times.append(time.perf_counter() - t0)
+        # dispatch early, consume late: the next frame's disk load + upload +
+        # extraction all overlap this frame's device round trip
+        h = slam.track_begin(feats=feats_cur, timestamp=t)
         if i + 1 < len(files):
             images = np.stack([load_gray(p) for p in files[i + 1]])
             pending = slam.prepare(images)
+        m = slam.track_finish(h)
+        times.append(time.perf_counter() - t0)
         if viz is not None:
             viz.update(slam, images_cur, m)
         if i % 50 == 0:

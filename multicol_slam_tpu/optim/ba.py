@@ -61,15 +61,26 @@ def bundle_adjust(
     free: FreeMask,
     max_iters: int = 15,
     cg_iters: int = 20,
+    solve_mc: bool = False,
+    solve_intr: bool = False,
 ) -> Tuple[BAParams, jnp.ndarray]:
     """Generic BA: global (all poses free but the first), local (anchors
     fixed), structure-only (poses fixed), or self-calibrating (mc/intr free)
-    — entirely encoded by `free`. Huber sqrt(5.991)."""
-    cfg = LMConfig(max_iters=max_iters, cg_iters=cg_iters, huber_delta=float(np.sqrt(CHI2_BA)))
+    — entirely encoded by `free`. Huber sqrt(5.991).
+
+    solve_mc/solve_intr must be True when free.mc/free.intr free those
+    groups (self-calibrating modes): they statically gate the rig-calibration
+    Jacobian blocks, the widest per-row data in the solver — the standard
+    fixed-rig modes skip them entirely."""
+    cfg = LMConfig(max_iters=max_iters, cg_iters=cg_iters,
+                   huber_delta=float(np.sqrt(CHI2_BA)),
+                   solve_mc=solve_mc, solve_intr=solve_intr)
     return lm_solve(params, obs, free, cfg)
 
 
-bundle_adjust_jit = jax.jit(bundle_adjust, static_argnames=("max_iters", "cg_iters"))
+bundle_adjust_jit = jax.jit(
+    bundle_adjust,
+    static_argnames=("max_iters", "cg_iters", "solve_mc", "solve_intr"))
 
 
 def bundle_adjust_interruptible(
@@ -85,10 +96,13 @@ def bundle_adjust_interruptible(
     """Local-BA variant driven `chunk_iters` LM iterations per device
     program: abortable between chunks (InterruptBA, cLocalMapping.cpp:515)
     and friendly to a tracker sharing the device (see
-    lm.lm_solve_interruptible for the chunk-size tradeoff)."""
+    lm.lm_solve_interruptible for the chunk-size tradeoff). Rig calibration
+    stays fixed in local BA (solve_mc/solve_intr off)."""
     from multicol_slam_tpu.optim.lm import lm_solve_interruptible
 
-    cfg = LMConfig(max_iters=max_iters, cg_iters=cg_iters, huber_delta=float(np.sqrt(CHI2_BA)))
+    cfg = LMConfig(max_iters=max_iters, cg_iters=cg_iters,
+                   huber_delta=float(np.sqrt(CHI2_BA)),
+                   solve_mc=False, solve_intr=False)
     return lm_solve_interruptible(params, obs, free, cfg, interrupt, pre_step,
                                   chunk_iters=chunk_iters)
 

@@ -52,6 +52,12 @@ class LMConfig(NamedTuple):
     gain_eps: float = 1e-6       # terminate-action gain threshold
     lambda_up: float = 4.0
     lambda_down: float = 0.5
+    # compute Jacobian blocks for the rig calibration groups. The standard
+    # BA modes keep mc/intr FIXED — skipping their (widest) per-row Jacobian
+    # blocks removes most of the solver's bandwidth. Self-calibrating BA
+    # sets them True.
+    solve_mc: bool = True
+    solve_intr: bool = True
 
 
 def _mask_params(d: BAParams, free: FreeMask) -> BAParams:
@@ -91,27 +97,56 @@ def _psum_tree(tree, axis_name):
     return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), tree)
 
 
+# ---------------------------------------------------------------------------
+# TPU-shaped segment reduction over the observation axis.
+#
+# Everything per-observation lives in OBSERVATION-MINOR layout [.., O]
+# (residuals_and_jacobians): the huge O axis sits on the 128-lane minor
+# dimension, so every elementwise pass and every reduction streams at full
+# HBM tile density. The [O, 2, d] layout this replaced padded its d<=22-wide
+# minor dim to 128 lanes — the profiled Hessian-vector product was ~20x
+# bandwidth-inflated (45 ms for ~50 MFLOP of work). Segment reductions are
+# scatter-adds along the minor axis into [D, n_seg] accumulators.
+# ---------------------------------------------------------------------------
+
+def _segsum(rows, ids, n_seg):
+    """sum_o rows[:, o] -> out[ids[o]]: [D, O] -> [n_seg, D]."""
+    return jnp.zeros((rows.shape[0], n_seg), rows.dtype).at[:, ids].add(rows).T
+
+
 def _build_grad_and_blocks(params, obs, Jp, Jx, Jm, Ji, w, r, axis_name=None):
     """RHS g = -J^T W r (the Gauss-Newton descent direction for residual
     r = measured - predicted) and block-diagonal (preconditioner) terms.
-    With `axis_name` set, observation rows are sharded across a mesh axis and
-    every scatter-accumulation is psum-reduced — THE distributed-BA hook
-    (SURVEY.md §2.3: sharded Schur-block reduction over ICI)."""
+    Jacobian blocks arrive in [2, d, O] layout. With `axis_name` set,
+    observation rows are sharded across a mesh axis and every segment
+    reduction is psum-reduced — THE distributed-BA hook (SURVEY.md §2.3:
+    sharded Schur-block reduction over ICI)."""
     K = params.poses.shape[0]
     P = params.points.shape[0]
     C = params.mc.shape[0]
-    wr = -(w[:, None] * r)  # [O, 2]
-    g_pose = jnp.zeros((K, 6)).at[obs.kf].add(jnp.einsum("oij,oi->oj", Jp, wr))
-    g_pt = jnp.zeros((P, 3)).at[obs.pt].add(jnp.einsum("oij,oi->oj", Jx, wr))
-    g_mc = jnp.zeros((C, 6)).at[obs.cam].add(jnp.einsum("oij,oi->oj", Jm, wr))
-    g_intr = jnp.zeros((C, Ji.shape[-1])).at[obs.cam].add(jnp.einsum("oij,oi->oj", Ji, wr))
+    Di = params.intr.shape[1]
+    wr = -(w[None, :] * r.T)  # [2, O]
+    g_pose = _segsum(jnp.einsum("ijo,io->jo", Jp, wr), obs.kf, K)
+    g_pt = _segsum(jnp.einsum("ijo,io->jo", Jx, wr), obs.pt, P)
     # block diagonals: U_k = sum J^T w J per pose, V_p per point
-    U = jnp.zeros((K, 6, 6)).at[obs.kf].add(jnp.einsum("oia,o,oib->oab", Jp, w, Jp))
-    V = jnp.zeros((P, 3, 3)).at[obs.pt].add(jnp.einsum("oia,o,oib->oab", Jx, w, Jx))
-    Um = jnp.zeros((C, 6, 6)).at[obs.cam].add(jnp.einsum("oia,o,oib->oab", Jm, w, Jm))
-    Ui = jnp.zeros((C, Ji.shape[-1], Ji.shape[-1])).at[obs.cam].add(
-        jnp.einsum("oia,o,oib->oab", Ji, w, Ji)
-    )
+    U = _segsum(jnp.einsum("iao,o,ibo->abo", Jp, w, Jp).reshape(36, -1),
+                obs.kf, K).reshape(K, 6, 6)
+    V = _segsum(jnp.einsum("iao,o,ibo->abo", Jx, w, Jx).reshape(9, -1),
+                obs.pt, P).reshape(P, 3, 3)
+    if Jm is not None:
+        g_mc = _segsum(jnp.einsum("ijo,io->jo", Jm, wr), obs.cam, C)
+        Um = _segsum(jnp.einsum("iao,o,ibo->abo", Jm, w, Jm).reshape(36, -1),
+                     obs.cam, C).reshape(C, 6, 6)
+    else:
+        g_mc = jnp.zeros((C, 6))
+        Um = jnp.zeros((C, 6, 6))
+    if Ji is not None:
+        g_intr = _segsum(jnp.einsum("ijo,io->jo", Ji, wr), obs.cam, C)
+        Ui = _segsum(jnp.einsum("iao,o,ibo->abo", Ji, w, Ji).reshape(Di * Di, -1),
+                     obs.cam, C).reshape(C, Di, Di)
+    else:
+        g_intr = jnp.zeros((C, Di))
+        Ui = jnp.zeros((C, Di, Di))
     grad = BAParams(g_pose, g_pt, g_mc, g_intr)
     grad = _psum_tree(grad, axis_name)
     blocks = _psum_tree((U, V, Um, Ui), axis_name)
@@ -120,23 +155,28 @@ def _build_grad_and_blocks(params, obs, Jp, Jx, Jm, Ji, w, r, axis_name=None):
 
 def _hvp(obs, Jp, Jx, Jm, Ji, w, lam, blocks, free: FreeMask, v: BAParams,
          axis_name=None) -> BAParams:
-    """(J^T W J + lam * blockdiag) v via gather -> per-row matvec -> scatter.
+    """(J^T W J + lam * blockdiag) v via minor-axis gathers -> [2,O]/[d,O]
+    lane-aligned contractions -> minor-axis scatter reductions.
     Sharded-observation partial sums are psum'd when axis_name is set; the
     damping term uses already-reduced blocks so it is added post-psum."""
     v = _mask_params(v, free)
     jv = (
-        jnp.einsum("oij,oj->oi", Jp, v.poses[obs.kf])
-        + jnp.einsum("oij,oj->oi", Jx, v.points[obs.pt])
-        + jnp.einsum("oij,oj->oi", Jm, v.mc[obs.cam])
-        + jnp.einsum("oij,oj->oi", Ji, v.intr[obs.cam])
-    )  # [O, 2]
-    wjv = w[:, None] * jv
+        jnp.einsum("ijo,jo->io", Jp, v.poses.T[:, obs.kf])
+        + jnp.einsum("ijo,jo->io", Jx, v.points.T[:, obs.pt])
+    )
+    if Jm is not None:
+        jv = jv + jnp.einsum("ijo,jo->io", Jm, v.mc.T[:, obs.cam])
+    if Ji is not None:
+        jv = jv + jnp.einsum("ijo,jo->io", Ji, v.intr.T[:, obs.cam])
+    wjv = w[None, :] * jv  # [2, O]
     K, P = v.poses.shape[0], v.points.shape[0]
     C = v.mc.shape[0]
-    h_pose = jnp.zeros((K, 6)).at[obs.kf].add(jnp.einsum("oij,oi->oj", Jp, wjv))
-    h_pt = jnp.zeros((P, 3)).at[obs.pt].add(jnp.einsum("oij,oi->oj", Jx, wjv))
-    h_mc = jnp.zeros((C, 6)).at[obs.cam].add(jnp.einsum("oij,oi->oj", Jm, wjv))
-    h_intr = jnp.zeros((C, Ji.shape[-1])).at[obs.cam].add(jnp.einsum("oij,oi->oj", Ji, wjv))
+    h_pose = _segsum(jnp.einsum("ijo,io->jo", Jp, wjv), obs.kf, K)
+    h_pt = _segsum(jnp.einsum("ijo,io->jo", Jx, wjv), obs.pt, P)
+    h_mc = (_segsum(jnp.einsum("ijo,io->jo", Jm, wjv), obs.cam, C)
+            if Jm is not None else jnp.zeros((C, 6)))
+    h_intr = (_segsum(jnp.einsum("ijo,io->jo", Ji, wjv), obs.cam, C)
+              if Ji is not None else jnp.zeros_like(v.intr))
     h_pose, h_pt, h_mc, h_intr = _psum_tree((h_pose, h_pt, h_mc, h_intr), axis_name)
     U, V, Um, Ui = blocks
     # Levenberg damping on the block diagonal (adds lam * diag(U) * v)
@@ -154,12 +194,38 @@ def _diag_only(B):
     return jax.vmap(jnp.diag)(d) if B.ndim == 3 else jnp.diag(d)
 
 
+def _inv3x3(A):
+    """Closed-form batched 3x3 inverse (adjugate/determinant): the general
+    jnp.linalg.inv LU path costs ~50 ms for the 50k point blocks per LM
+    iteration; the adjugate is a handful of fused elementwise ops."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    rows = jnp.stack([
+        jnp.stack([A11, A12, A13], -1),
+        jnp.stack([A21, A22, A23], -1),
+        jnp.stack([A31, A32, A33], -1),
+    ], -2)
+    return rows * inv_det[..., None, None]
+
+
 def _block_inv(B, lam):
     """Damped block inverses for the preconditioner. B [N, d, d]."""
     d = B.shape[-1]
     eye = jnp.eye(d)
     Bd = B + (lam * jnp.maximum(jnp.diagonal(B, axis1=-2, axis2=-1), 1e-8))[..., None] * eye + 1e-6 * eye
-    return jnp.linalg.inv(Bd)
+    return _inv3x3(Bd) if d == 3 else jnp.linalg.inv(Bd)
 
 
 def _precond_apply(Minv, free: FreeMask, g: BAParams) -> BAParams:
@@ -217,7 +283,8 @@ def _lm_step_body(state: LMState, obs: Observations, free: FreeMask,
                   config: LMConfig, axis_name=None) -> LMState:
     """One full LM iteration: Jacobians -> PCG solve -> gain-ratio accept."""
     p = state.params
-    r, z, Jp, Jx, Jm, Ji = residuals_and_jacobians(p, obs)
+    r, z, Jp, Jx, Jm, Ji = residuals_and_jacobians(
+        p, obs, with_mc=config.solve_mc, with_intr=config.solve_intr)
     w, _ = huber_weights(r, z, obs, config.huber_delta)
     grad, blocks = _build_grad_and_blocks(p, obs, Jp, Jx, Jm, Ji, w, r, axis_name)
     grad = _mask_params(grad, free)
@@ -258,7 +325,8 @@ def lm_solve(
     def cond(s: LMState):
         return (~s.done) & (s.n_iters < config.max_iters)
 
-    out = jax.lax.while_loop(cond, lambda s: _lm_step_body(s, obs, free, config, axis_name), init)
+    out = jax.lax.while_loop(
+        cond, lambda s: _lm_step_body(s, obs, free, config, axis_name), init)
     return out.params, out.cost
 
 
@@ -287,7 +355,8 @@ def _lm_chunk_jit(state: LMState, obs, free, config: LMConfig, chunk: int) -> LM
     def cond(s: LMState):
         return (~s.done) & (s.n_iters < limit)
 
-    out = jax.lax.while_loop(cond, lambda s: _lm_step_body(s, obs, free, config), state)
+    out = jax.lax.while_loop(
+        cond, lambda s: _lm_step_body(s, obs, free, config, None), state)
     # packed control scalars: the host reads ONE array per chunk (each
     # distinct-array readback is a full RPC round trip on a tunneled device)
     flags = jnp.stack([out.done.astype(jnp.float32), out.n_iters.astype(jnp.float32)])

@@ -86,26 +86,42 @@ def residual_one(pose6, mc6, intr_vec, X, uv_meas):
 
 
 # vmapped residual + all Jacobian blocks for a whole observation table
-def residuals_and_jacobians(params: BAParams, obs: Observations):
-    """Returns r [O,2], z [O], and Jacobian blocks
-    (Jpose [O,2,6], Jpt [O,2,3], Jmc [O,2,6], Jintr [O,2,INTR_DIM]).
+def residuals_and_jacobians(params: BAParams, obs: Observations,
+                            with_mc: bool = True, with_intr: bool = True):
+    """Returns r [O,2], z [O], and Jacobian blocks in OBSERVATION-MINOR
+    layout: Jpose [2,6,O], Jpt [2,3,O], Jmc [2,6,O], Jintr [2,INTR_DIM,O].
+    Jmc/Jintr are None when with_mc/with_intr is False (the standard BA
+    modes keep the rig calibration fixed — their Jacobian blocks are the
+    WIDEST per-row data, so skipping them cuts most of the bandwidth).
 
-    One jacfwd through the full chain — XLA fuses the per-observation closed
-    form; no sparse matrix is ever materialized.
+    One differentiation pass through the full chain — XLA fuses the
+    per-observation closed form; no sparse matrix is ever materialized. The
+    [.., O] layout matters enormously on TPU: an [O, 2, d] array puts a
+    d<=22-wide dim on the 128-lane minor axis, padding every vector register
+    and HBM tile ~6-60x — the profiled Hessian-vector product was
+    bandwidth-inflated ~20x by it.
     """
+    argnums = (0, 3) if not (with_mc or with_intr) else (
+        (0, 1, 3) if not with_intr else ((0, 2, 3) if not with_mc else (0, 1, 2, 3)))
+
     def with_jac(kf, pt, cam, uv):
         p6 = params.poses[kf]
         m6 = params.mc[cam]
         iv = params.intr[cam]
         X = params.points[pt]
         r, z = residual_one(p6, m6, iv, X, uv)
-        jac = jax.jacfwd(lambda a, b, c, d: residual_one(a, b, c, d, uv)[0], argnums=(0, 1, 2, 3))(
-            p6, m6, iv, X
-        )
+        # jacrev, not jacfwd: the residual is 2-dim but the parameter stack
+        # is up to 6+6+22+3 = 37-dim — reverse mode runs 2 cotangent passes
+        # where forward mode would push 37 tangents through the chain
+        jac = jax.jacrev(lambda a, b, c, d: residual_one(a, b, c, d, uv)[0],
+                         argnums=argnums)(p6, m6, iv, X)
         return r, z, jac
 
-    r, z, (Jpose, Jmc, Jintr, Jpt) = jax.vmap(with_jac)(obs.kf, obs.pt, obs.cam, obs.uv)
-    return r, z, Jpose, Jpt, Jmc, Jintr
+    r, z, jacs = jax.vmap(with_jac, out_axes=(0, 0, -1))(
+        obs.kf, obs.pt, obs.cam, obs.uv)
+    jac_by_argnum = dict(zip(argnums, jacs))
+    return (r, z, jac_by_argnum[0], jac_by_argnum[3],
+            jac_by_argnum.get(1), jac_by_argnum.get(2))
 
 
 def pose_residuals_and_jac(params: BAParams, obs: Observations):
@@ -125,7 +141,8 @@ def pose_residuals_and_jac(params: BAParams, obs: Observations):
             r, z = residual_one(a, m6, iv, X, uv)
             return r, (r, z)
 
-        Jp, (r, z) = jax.jacfwd(f, has_aux=True)(p6)
+        # jacrev: 2 cotangent passes vs 6 forward tangents (r is 2-dim)
+        Jp, (r, z) = jax.jacrev(f, has_aux=True)(p6)
         return r, z, Jp
 
     return jax.vmap(with_jac)(obs.kf, obs.pt, obs.cam, obs.uv)

@@ -606,7 +606,9 @@ class LocalMapper:
         )
         obs = Observations(
             jnp.asarray(np.pad(prob["obs_kf"], (0, pO - nO))),
-            jnp.asarray(np.pad(prob["obs_pt"], (0, pO - nO))),
+            # padding on the LAST point slot keeps the point-sorted column
+            # sorted (prefix-sum reduction contract, optim/lm._sorted_segsum)
+            jnp.asarray(np.pad(prob["obs_pt"], (0, pO - nO), constant_values=pP - 1)),
             jnp.asarray(np.pad(prob["obs_cam"], (0, pO - nO))),
             jnp.asarray(np.pad(prob["obs_uv"], ((0, pO - nO), (0, 0)))),
             jnp.asarray(np.pad(prob["obs_inv_sigma2"], (0, pO - nO))),

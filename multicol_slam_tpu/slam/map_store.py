@@ -425,6 +425,11 @@ class MapStore:
         if not rows:
             return None
         rows = np.asarray(rows, np.int64)
+        # sort by LOCAL POINT id: the LM engine's prefix-sum segment
+        # reduction (optim/lm._sorted_segsum, the TPU-shaped replacement for
+        # scatter-add) requires point-contiguous observation runs; row order
+        # is irrelevant to every other consumer
+        rows = rows[np.argsort(rows[:, 1], kind="stable")]
         inv_sigma2 = (1.0 / self.scale_factors**2)[
             self.kf_octave[rows[:, 4], rows[:, 3]]
         ].astype(np.float32)

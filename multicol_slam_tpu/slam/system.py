@@ -73,6 +73,7 @@ class _FrameHandle:
     lp2: object = None
     pt_ids2: object = None
     begin_ms: float = 0.0
+    epoch: int = 0                # store generation; stale handles are dropped
 
 
 @dataclasses.dataclass
@@ -164,7 +165,8 @@ class MultiColSLAM:
         self._worker = None
         self._frame_idle = None
         self._tracker_tid = None
-        self._pending: Optional[_FrameHandle] = None
+        self._n_inflight = 0
+        self._epoch = 0
         if async_mapping:
             import queue
             import threading
@@ -216,7 +218,10 @@ class MultiColSLAM:
         costs zero blocking time at the camera rate. track() = begin+finish
         back-to-back (identical semantics, the round trip on the critical
         path)."""
-        assert self._pending is None, "track_begin called with a frame still in flight"
+        # multiple frames may be in flight (pipeline depth > 1: begin(t) uses
+        # the state last updated by the newest consumed frame); results MUST
+        # be consumed via track_finish in dispatch order
+        self._n_inflight += 1
         t0 = time.perf_counter()
         if self._frame_idle is not None:
             import threading
@@ -232,7 +237,8 @@ class MultiColSLAM:
                     jnp.asarray(images), self.rig.cams, self.settings.extractor
                 )
             m = FrameMetrics(self.frame_id, timestamp, self.state, self.last_pose.copy())
-            h = _FrameHandle(feats=feats, timestamp=timestamp, m=m, t0=t0)
+            h = _FrameHandle(feats=feats, timestamp=timestamp, m=m, t0=t0,
+                             epoch=self._epoch)
             if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
                 if int(np.asarray(feats.valid).sum()) > MIN_INIT_KPS:
                     self.ref_feats = feats
@@ -246,7 +252,6 @@ class MultiColSLAM:
             elif self.state in (WORKING, LOST):
                 self._track_frame_begin(h)
             h.begin_ms = (time.perf_counter() - t0) * 1e3
-            self._pending = h
             return h
         finally:
             if self._frame_idle is not None:
@@ -257,8 +262,10 @@ class MultiColSLAM:
         readback), run the rare fallback paths, bookkeeping, and the
         keyframe decision."""
         t0 = time.perf_counter()
-        self._pending = None
+        self._n_inflight -= 1
         m = h.m
+        if h.epoch != self._epoch:
+            h.done = True  # the map was reset while this frame was in flight
         if not h.done:
             self._track_frame_finish(h)
         self.last_feats = h.feats
@@ -503,7 +510,7 @@ class MultiColSLAM:
                 - cayley_to_hom_np(ref_pose)[:3, 3]))
         if ((c1a or c1b) and c2) and baseline > 0.2:
             if mapper_idle:
-                self._create_keyframe(feats, timestamp, assign_global)
+                self._create_keyframe(feats, timestamp, assign_global, m.frame_id)
                 m.is_keyframe = True
             else:
                 # InterruptBA, but do not insert yet (cTracking.cpp:933-940)
@@ -543,10 +550,11 @@ class MultiColSLAM:
         pts = np.unique(pts[pts >= 0]) if len(pts) else np.empty(0, np.int64)
         return pts[s.pt_valid[pts]] if len(pts) else pts
 
-    def _create_keyframe(self, feats, timestamp, assign_global):
+    def _create_keyframe(self, feats, timestamp, assign_global, frame_id=None):
         s = self.store
         with self.map_lock:
-            k = s.add_keyframe(self.last_pose, feats, timestamp, self.frame_id)
+            k = s.add_keyframe(self.last_pose, feats, timestamp,
+                               self.frame_id if frame_id is None else frame_id)
             for f in np.nonzero(assign_global >= 0)[0]:
                 s.add_observation(k, int(f), int(assign_global[f]))
             self.last_assign_global = s.kf_point[k].copy()
@@ -761,7 +769,9 @@ class MultiColSLAM:
         )
         obs = Observations(
             jnp.asarray(np.pad(prob["obs_kf"], (0, pO - nO))),
-            jnp.asarray(np.pad(prob["obs_pt"], (0, pO - nO))),
+            # padding rows carry the LAST (padding) point slot so the
+            # point-sorted column stays sorted (prefix-sum reduction contract)
+            jnp.asarray(np.pad(prob["obs_pt"], (0, pO - nO), constant_values=pP - 1)),
             jnp.asarray(np.pad(prob["obs_cam"], (0, pO - nO))),
             jnp.asarray(np.pad(prob["obs_uv"], ((0, pO - nO), (0, 0)))),
             jnp.asarray(np.pad(prob["obs_inv_sigma2"], (0, pO - nO))),
@@ -771,7 +781,8 @@ class MultiColSLAM:
             poses=jnp.asarray(np.arange(pK) < prob["n_free_kf"]),
             points=jnp.asarray(np.arange(pP) < nP),
         )
-        out, _ = bundle_adjust_jit(params, obs, free, max_iters=max_iters, cg_iters=20)
+        out, _ = bundle_adjust_jit(params, obs, free, max_iters=max_iters,
+                                   cg_iters=20)
         s.write_back(prob, poses=np.asarray(out.poses)[:nK], points=np.asarray(out.points)[:nP])
 
     # ------------------------------------------------------------------
@@ -795,6 +806,7 @@ class MultiColSLAM:
         self.ref_feats = None
         self.last_assign_global = None
         self.velocity = np.eye(4, dtype=np.float32)
+        self._epoch += 1
         self.ref_kf_id = -1
         self._last_reloc_frame = -(10 ** 9)
         self.frames_since_kf = 0

@@ -42,7 +42,7 @@ def main():
     n_rows = obs.kf.shape[0]
     lo, hi = shard_rows_for_process(n_rows, mesh)
     obs_local = jax.tree.map(lambda x: np.asarray(x)[lo:hi], obs)
-    cfg = LMConfig(max_iters=10, cg_iters=20)
+    cfg = LMConfig(max_iters=10, cg_iters=20, solve_mc=False, solve_intr=False)
     out, cost = multihost_bundle_adjust(noisy, obs_local, free, mesh, cfg)
     poses = np.asarray(jax.device_get(out.poses))
     points = np.asarray(jax.device_get(out.points))

@@ -63,7 +63,7 @@ def test_two_process_distributed_ba(tmp_path):
         n_kfs=8, n_points=400, n_obs=4000, noise_px=0.2, seed=3
     )
     out_s, cost_s = jax.jit(
-        lambda p, o, f: lm_solve(p, o, f, LMConfig(max_iters=10, cg_iters=20))
+        lambda p, o, f: lm_solve(p, o, f, LMConfig(max_iters=10, cg_iters=20, solve_mc=False, solve_intr=False))
     )(noisy, obs, free)
     np.testing.assert_allclose(data["poses"], np.asarray(out_s.poses), atol=5e-3)
     # and both must be near the ground truth
