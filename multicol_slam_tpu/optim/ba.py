@@ -203,18 +203,25 @@ class Sim3Edges(NamedTuple):
     valid: jnp.ndarray   # [E] bool
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters",))
+@functools.partial(jax.jit, static_argnames=("n_iters", "dense_limit"))
 def optimize_essential_graph(
     v7: jnp.ndarray,
     edges: Sim3Edges,
     fixed: jnp.ndarray,
     n_iters: int = 20,
+    dense_limit: int = 300,
 ):
     """Sim3 pose-graph GN (OptimizeEssentialGraph, cOptimizerLoopStuff.cpp
     :273-520): vertices are S_iw (world -> KF body, 7-dof), edges constrain
-    relative Sim3s; residual = log(S_ji_meas o S_i o S_j^-1). Solved with a
-    dense damped GN over the [K,7] stack (loop graphs are small: K ~ 1e2,
-    so 7K x 7K dense Cholesky is microseconds on the MXU).
+    relative Sim3s; residual = log(S_ji_meas o S_i o S_j^-1).
+
+    Two solver paths by graph size (K is a static shape, so the choice is a
+    trace-time branch): K <= dense_limit assembles the full damped-GN system
+    and dense-solves it (7K x 7K Cholesky is microseconds on the MXU at
+    K ~ 1e2); larger graphs — the map now grows unboundedly — switch to a
+    matrix-free block-Jacobi PCG over the edge table, the same
+    never-materialize-H discipline as the BA engine (the reference's sparse
+    pose graph has no size ceiling either, cOptimizerLoopStuff.cpp:273-520).
 
     v7 [K, 7] initial vertex estimates (sim3_log of S_iw);
     fixed [K] bool (the loop-closure KF is fixed, :339).
@@ -266,4 +273,58 @@ def optimize_essential_graph(
         delta = jnp.linalg.solve(Hm, gm[:, None])[:, 0]
         return v + delta.reshape(K, 7)
 
-    return jax.lax.fori_loop(0, n_iters, gn_step, v7)
+    def gn_step_cg(it, v):
+        """Matrix-free variant: H v products stream over the edge table."""
+        r = residual_all(v)
+        Ji = jax.vmap(
+            lambda i, j, m: jax.jacfwd(lambda vi: edge_residual(vi, v[j], m))(v[i])
+        )(edges.i, edges.j, edges.meas)
+        Jj = jax.vmap(
+            lambda i, j, m: jax.jacfwd(lambda vj: edge_residual(v[i], vj, m))(v[j])
+        )(edges.i, edges.j, edges.meas)
+        w = jnp.where(edges.valid, edges.weight, 0.0)
+        free = (~fixed).astype(v.dtype)[:, None]
+        g = jnp.zeros((K, 7))
+        g = g.at[edges.i].add(-jnp.einsum("eab,e,ea->eb", Ji, w, r))
+        g = g.at[edges.j].add(-jnp.einsum("eab,e,ea->eb", Jj, w, r))
+        g = g * free
+        # block-Jacobi preconditioner from the per-vertex diagonal blocks
+        Hd = jnp.zeros((K, 7, 7))
+        Hd = Hd.at[edges.i].add(jnp.einsum("eab,e,eac->ebc", Ji, w, Ji))
+        Hd = Hd.at[edges.j].add(jnp.einsum("eab,e,eac->ebc", Jj, w, Jj))
+        Minv = jnp.linalg.inv(Hd + 1e-5 * jnp.eye(7))
+
+        def Hv(x):
+            x = x * free
+            s = (jnp.einsum("eab,eb->ea", Ji, x[edges.i])
+                 + jnp.einsum("eab,eb->ea", Jj, x[edges.j]))  # J x per edge
+            sw = w[:, None] * s
+            y = jnp.zeros((K, 7))
+            y = y.at[edges.i].add(jnp.einsum("eab,ea->eb", Ji, sw))
+            y = y.at[edges.j].add(jnp.einsum("eab,ea->eb", Jj, sw))
+            return (y + 1e-5 * x) * free
+
+        def precond(x):
+            return jnp.einsum("kab,kb->ka", Minv, x) * free
+
+        x0 = jnp.zeros_like(g)
+        r0 = g
+        z0 = precond(r0)
+
+        def cg_body(i, st):
+            x, rr, z, p, rz = st
+            Hp = Hv(p)
+            alpha = rz / jnp.maximum(jnp.vdot(p, Hp), 1e-20)
+            x = x + alpha * p
+            rr = rr - alpha * Hp
+            z = precond(rr)
+            rz_new = jnp.vdot(rr, z)
+            beta = rz_new / jnp.maximum(rz, 1e-20)
+            return x, rr, z, z + beta * p, rz_new
+
+        x, *_ = jax.lax.fori_loop(
+            0, 60, cg_body, (x0, r0, z0, z0, jnp.vdot(r0, z0)))
+        return v + x
+
+    step = gn_step if K <= dense_limit else gn_step_cg
+    return jax.lax.fori_loop(0, n_iters, step, v7)

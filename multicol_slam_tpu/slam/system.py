@@ -620,7 +620,14 @@ class MultiColSLAM:
         (DetectRelocalisationCandidates) -> descriptor matches to each
         candidate's map points (>=15) -> non-central absolute-pose RANSAC
         (our DLT+Procrustes replacing OpenGV GP3P, thr/iters per :1274-1275)
-        -> refinement + local-map pose optimization; accept >=10 inliers."""
+        -> gpnp-style refinement + local-map pose optimization; accept >=10.
+
+        Latency bound: <=5 candidates x 3 device round trips each (Hamming
+        block, batched 160-hypothesis RANSAC, confirmation track_stage), with
+        early exit on the first accepted candidate — the common case is one
+        candidate. The reference bounds the same path at <=150 sequential
+        RANSAC iterations per candidate (cTracking.cpp:1274); ours runs all
+        hypotheses as one batched program."""
         from multicol_slam_tpu.ops.matching import hamming_matrix
         from multicol_slam_tpu.ops.ransac import (
             ransac_noncentral_pose,
