@@ -358,6 +358,7 @@ class LocalMapper:
             check_rotation=True,
             use_masks=self.use_masks,
         )
+        out.packed.copy_to_host_async()  # ride the compute stream
         packed = np.asarray(out.packed)            # ONE readback: [Jp, CK, 5]
         Xs = packed[..., :3]
         f2s = packed[..., 3].astype(np.int64)
@@ -511,6 +512,7 @@ class LocalMapper:
             feats_all, jnp.zeros(6, jnp.float32), lp, radius,
             use_masks=self.use_masks,
         )
+        packed.copy_to_host_async()
         packed = np.asarray(packed)                 # ONE readback: [3, Jp*C*K]
         assign_all = packed[0].astype(np.int64).reshape(Jp * C, K)
         keep_all = (packed[2] > 0.5).reshape(Jp * C, K)

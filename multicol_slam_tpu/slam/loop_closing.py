@@ -295,6 +295,7 @@ class LoopCloser:
             self.mc6, self.intr, self.rig.cams, fk,
             jnp.asarray(pose6_corr, jnp.float32), lp, radius,
         )
+        packed.copy_to_host_async()
         packed = np.asarray(packed)                 # ONE readback: [3, C*K]
         assign = packed[0].astype(np.int64)
         keep = (packed[2] > 0.5) & (packed[1] <= th_desc)
