@@ -494,8 +494,13 @@ class MultiColSLAM:
         if (self.frame_id < self._last_reloc_frame + self.settings.max_frames
                 and int(s.kf_valid.sum()) > self.settings.max_frames):
             return
-        # mapper idle = AcceptMultiKeyFrames (queue drained; sync mode: always)
-        mapper_idle = self._kf_queue is None or self._kf_queue.qsize() == 0
+        # mapper idle = AcceptMultiKeyFrames. The reference's flag is true
+        # whenever its mapper is between queue items — even with a backlog —
+        # so a strict queue-empty test is STRICTER than the reference and
+        # starves keyframes whenever the tracker outruns the mapper (e.g. a
+        # faster-than-real-time feed): allow a small backlog instead, with
+        # InterruptBA applying pressure beyond it (cLocalMapping.cpp:69-129)
+        mapper_idle = self._kf_queue is None or self._kf_queue.qsize() <= 1
         c1a = self.frames_since_kf >= self.settings.max_frames
         c1b = self.frames_since_kf >= self.settings.min_frames and mapper_idle
         c2 = (n_inl < KF_REF_RATIO * max(self.ref_kf_tracked, 1)) and n_inl > KF_MIN_INLIERS
@@ -563,10 +568,20 @@ class MultiColSLAM:
             self.ref_kf_id = k
             self.ref_kf_tracked = int((s.kf_point[k] >= 0).sum())
         if self.async_mapping:
-            # hand off to the mapping worker (InsertMultiKeyFrame,
-            # cLocalMapping.cpp:131-137); refined poses/points flow back to
-            # tracking through the shared store on later frames
-            self._kf_queue.put(k)
+            # Bootstrap keyframes are mapped SYNCHRONOUSLY: a young map (few
+            # KFs, few points) must extend within a frame or two or tracking
+            # dies and auto-resets — the worker's latency is only affordable
+            # once the local map is established. The reference has the same
+            # property implicitly: its mapper keeps up while the map is tiny.
+            if int(s.kf_valid.sum()) > 5:
+                # hand off to the mapping worker (InsertMultiKeyFrame,
+                # cLocalMapping.cpp:131-137); refined poses/points flow back
+                # to tracking through the shared store on later frames
+                self._kf_queue.put(k)
+                return
+            self.mapper.run(k)
+            self.last_pose = s.kf_pose[k].copy()
+            self.last_assign_global = s.kf_point[k].copy()
             return
         self.mapper.run(k)
         # pose may have been adjusted by local BA
