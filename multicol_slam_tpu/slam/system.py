@@ -885,6 +885,16 @@ class MultiColSLAM:
                     )
                     + "\n"
                 )
+            # run-level counters ('no silent caps': the local-map gather
+            # truncation total is part of the observable record)
+            f.write(json.dumps(dict(
+                summary=True,
+                truncated_local_points=int(self._truncated_local_pts),
+                n_keyframes=int(self.store.kf_valid.sum()),
+                n_points=int(self.store.pt_valid.sum()),
+                n_loops_closed=(self.loop_closer.n_loops_closed
+                                if self.loop_closer else 0),
+            )) + "\n")
 
     def save_checkpoint(self, path: str):
         from multicol_slam_tpu.io.checkpoint import save_map
