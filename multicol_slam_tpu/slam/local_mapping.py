@@ -685,24 +685,26 @@ class LocalMapper:
             self.process_new_keyframe(k)
             self.cull_map_points(k)
         n_new = self.create_new_points(k)
-        self.fuse_neighbors(k)
-        # Starvation bound: under sustained keyframe pressure `interrupt` is
-        # true on every pass and BA would only ever run on the LAST queued
-        # keyframe (the reference has the same failure shape — InterruptBA
-        # aborts every solve while insertions keep coming). Force a BA pass
-        # at least every MAX_BA_DEFERRALS keyframes so map quality cannot
-        # degrade silently if the producer outruns the mapper.
+        # Backlog prioritization, exactly the reference's loop shape
+        # (cLocalMapping.cpp:69-129): triangulation runs for EVERY queued
+        # keyframe, but SearchInNeighbors and local BA only when no newer
+        # keyframe is waiting — under pressure, map EXTENSION (the points
+        # the starving tracker needs) outranks map refinement.
+        if not (interrupt is not None and interrupt()):
+            self.fuse_neighbors(k)
+        # Starvation bound on refinement: force a BA pass at least every
+        # MAX_BA_DEFERRALS keyframes; the forced solve still yields to the
+        # queue between chunks (>= one 5-iteration chunk always runs).
         force_ba = self._ba_deferred >= self.MAX_BA_DEFERRALS
         skip_ba = interrupt is not None and interrupt() and not force_ba
         if do_ba and self.store.kf_valid.sum() >= 3 and not skip_ba:
             self._ba_deferred = 0
-            # a forced pass runs to completion (non-interruptible), otherwise
-            # the queue pressure that caused the deferrals aborts it again
-            self.local_ba(k, interrupt=None if force_ba else interrupt)
+            self.local_ba(k, interrupt=interrupt)
+            # KeyFrameCulling follows BA, like the reference (:100-104)
+            with self.lock:
+                self.cull_keyframes(k)
         elif do_ba:
             self._ba_deferred += 1
-        with self.lock:
-            self.cull_keyframes(k)
         return n_new
 
 

@@ -156,6 +156,9 @@ class MultiColSLAM:
         self._last_reloc_frame = -(10 ** 9)  # mnLastRelocFrameId
         self._interrupt_ba = False   # InterruptBA request (cLocalMapping.cpp:515)
         self._truncated_local_pts = 0  # observability: stage-2 cap drops
+        # keyframe-decision observability: how often an insertion that passed
+        # the reference gates was deferred because the mapper was busy
+        self._kf_deferred_busy = 0
         self.trajectory: List[FrameMetrics] = []
         # fixed candidate capacity of the fused tracking program (static jit shape)
         self._stage2_cap = 4096
@@ -520,6 +523,7 @@ class MultiColSLAM:
             else:
                 # InterruptBA, but do not insert yet (cTracking.cpp:933-940)
                 self._interrupt_ba = True
+                self._kf_deferred_busy += 1
 
     def _finish_frame(self, new_pose: np.ndarray):
         Mt_last = cayley_to_hom_np(self.last_pose)
@@ -890,6 +894,7 @@ class MultiColSLAM:
             f.write(json.dumps(dict(
                 summary=True,
                 truncated_local_points=int(self._truncated_local_pts),
+                kf_deferred_mapper_busy=int(self._kf_deferred_busy),
                 n_keyframes=int(self.store.kf_valid.sum()),
                 n_points=int(self.store.pt_valid.sum()),
                 n_loops_closed=(self.loop_closer.n_loops_closed
