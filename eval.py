@@ -44,6 +44,9 @@ def main(argv=None):
     real_calib = False
     selfcal = False
     use_async = False
+    mdbrief = False
+    seed = 7
+    n_seeds = 1
     it = iter(argv)
     for a in it:
         if a == "--frames":
@@ -58,6 +61,12 @@ def main(argv=None):
             selfcal = True
         elif a == "--async":
             use_async = True
+        elif a == "--mdbrief":
+            mdbrief = True
+        elif a == "--seed":
+            seed = int(next(it))
+        elif a == "--seeds":
+            n_seeds = int(next(it))
         else:
             raise SystemExit(f"unknown arg {a}")
 
@@ -69,7 +78,48 @@ def main(argv=None):
         return _selfcal(n_frames if n_frames != 35 else 60)
     if real_calib:
         return _real_calib(n_frames if n_frames != 35 else 40, out_dir + "_real")
-    # deterministic artifact: run the sequential pipeline by default (async
+    if n_seeds > 1:
+        # multi-run protocol: "SLAM is not deterministic" — the reference's
+        # settings encode multiple runs per sequence
+        # (Slam_Settings_indoor1.yaml:44-57 traj.trajrun); report the
+        # median + max over seeds and gate on the median.
+        import numpy as np
+
+        vals, tracked = [], []
+        for i in range(n_seeds):
+            r = _synthetic(n_frames, f"{out_dir}_s{seed + i}", use_async,
+                           seed + i, mdbrief, use_tpu)
+            vals.append(r["value"])
+            tracked.append(r["frames_tracked"])
+        result = {
+            "metric": ("synthetic_lafida_ate_rmse_multiseed"
+                       + ("_mdbrief" if mdbrief else "")),
+            "value": round(float(np.median(vals)), 5),
+            "unit": f"m (MEDIAN over {n_seeds} seeds, Sim3-aligned, full pixel pipeline)",
+            "max": round(float(np.max(vals)), 5),
+            "per_seed": [round(float(v), 5) for v in vals],
+            "seeds": list(range(seed, seed + n_seeds)),
+            "frames_tracked": tracked,
+            "n_frames": n_frames,
+            "pipeline": "async" if use_async else "sync",
+        }
+        print(json.dumps(result))
+        return 0 if np.isfinite(result["value"]) else 1
+    r = _synthetic(n_frames, out_dir, use_async, seed, mdbrief, use_tpu)
+    print(json.dumps(r))
+    import numpy as np
+
+    return 0 if np.isfinite(r["value"]) else 1
+
+
+def _synthetic(n_frames: int, out_dir: str, use_async: bool, seed: int,
+               mdbrief: bool, use_tpu: bool = False) -> dict:
+    """One synthetic-Lafida CLI run (full pixel pipeline) -> result dict.
+    `mdbrief` switches the extractor to mdBRIEF with learned stability masks
+    (usemdBRIEF=1 masks=1 — the reference paper's headline descriptor,
+    mdBRIEFextractorOct.cpp:410-554) so every matcher runs the masked
+    Hamming x0.5-threshold path end-to-end."""
+    # deterministic artifact: the sequential pipeline by default (async
     # mapping interleaves BA with tracking and makes the number run-to-run
     # noisy); --async measures the SHIPPING default pipeline instead
     extra_cli = [] if use_async else ["--sync-mapping"]
@@ -84,8 +134,11 @@ def main(argv=None):
     from multicol_slam_tpu.io.trajectory import ate_rmse, load_tum_trajectory
 
     world = make_world(n_points=600, n_frames=n_frames, n_cams=3, n_feats=200,
-                       noise_px=0.0, trajectory="line", seed=7)
+                       noise_px=0.0, trajectory="line", seed=seed)
     seq_dir = write_dataset(world, out_dir)
+    if mdbrief:
+        _set_yaml_keys(os.path.join(seq_dir, "Slam_Settings_synthetic.yaml"),
+                       {"extractor.usemdBRIEF": 1, "extractor.masks": 1})
 
     from multicol_slam_tpu.cli import main as cli_main
 
@@ -104,18 +157,35 @@ def main(argv=None):
     est_t, est_xyz = load_tum_trajectory(traj_path)
     gt_t = world.timestamps
     ate = ate_rmse(est_t, est_xyz, gt_t, world.poses[:, 3:6])
-    result = {
-        "metric": "synthetic_lafida_ate_rmse",
+    return {
+        "metric": "synthetic_lafida_ate_rmse" + ("_mdbrief" if mdbrief else ""),
         "value": round(float(ate), 5),
         "unit": f"m (Sim3-aligned, {len(est_t)}/{n_frames} frames tracked, full pixel pipeline)",
         "frames_tracked": int(len(est_t)),
         "n_frames": n_frames,
+        "seed": seed,
         "wall_s": round(wall, 1),
         "platform": "tpu" if use_tpu else "cpu",
         "pipeline": "async" if use_async else "sync",
+        "descriptor": "mdBRIEF+masks" if mdbrief else "ORB",
     }
-    print(json.dumps(result))
-    return 0 if np.isfinite(ate) else 1
+
+
+def _set_yaml_keys(path: str, kv: dict) -> None:
+    """Overwrite `key: value` lines in an OpenCV-YAML settings file."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+    done = set()
+    for i, ln in enumerate(lines):
+        for k, v in kv.items():
+            if ln.startswith(k + ":"):
+                lines[i] = f"{k}: {v}"
+                done.add(k)
+    for k, v in kv.items():
+        if k not in done:
+            lines.append(f"{k}: {v}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 def _real_calib(n_frames: int, out_dir: str):

@@ -132,6 +132,12 @@ def main(argv=None):
 
             slam.loop_closer = LoopCloser(slam.store, rig, use_masks=slam.use_masks,
                                           lock=slam.map_lock)
+        if async_mapping:
+            # re-wire the tracker-priority gates the constructor set on the
+            # replaced mapper/loop-closer (same discipline as reset())
+            slam.mapper.yield_gate = slam._yield_to_tracker
+            if slam.loop_closer is not None:
+                slam.loop_closer.yield_gate = slam._yield_to_tracker
         slam.state = LOST
         # a resumed map must survive failed first-frame relocalizations: the
         # LOST auto-reset (<=3 KFs) would silently wipe a small loaded map

@@ -18,7 +18,7 @@ from multicol_slam_tpu.slam.map_store import MapConfig, MapStore
 _ARRAY_FIELDS = [
     "kf_valid", "kf_pose", "kf_timestamp", "kf_frame_id",
     "kf_uv", "kf_rays", "kf_octave", "kf_angle", "kf_desc", "kf_dmask",
-    "kf_feat_valid", "kf_point",
+    "kf_feat_valid", "kf_point", "kf_parent",
     "pt_valid", "pt_X", "pt_normal", "pt_min_dist", "pt_max_dist",
     "pt_desc", "pt_dmask", "pt_first_kf", "pt_visible", "pt_found",
     "pt_created_kfid",
@@ -56,7 +56,8 @@ def load_map(path: str) -> MapStore:
     meta = json.loads(str(data["__meta__"]))
     store = MapStore(MapConfig(**meta["config"]))
     for f in _ARRAY_FIELDS:
-        getattr(store, f)[...] = data[f]
+        if f in data:  # older checkpoints may predate a field (e.g. kf_parent)
+            getattr(store, f)[...] = data[f]
     store.n_kf = int(meta["n_kf"])
     store.n_pt_alloc = int(meta["n_pt_alloc"])
     store._free_pt = [int(x) for x in meta["free_pt"]]

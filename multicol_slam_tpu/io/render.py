@@ -40,7 +40,9 @@ def render_frame(world: SyntheticWorld, t: int, rng_seed: int = 1234) -> np.ndar
         uv = np.asarray(cam_world_to_img(rig.cams, c, jnp.asarray(Xc, jnp.float32)))
         ok = Xc[:, 2] > 0
         ok &= np.asarray(in_mirror_mask(rig.cams, c, jnp.asarray(uv, jnp.float32)))
-        ok &= np.linalg.norm(Xc, axis=-1) < 25.0
+        # honor the world's visibility budget: short-visibility drift worlds
+        # (loop-closure benchmarks) must not leak far landmarks into pixels
+        ok &= np.linalg.norm(Xc, axis=-1) < min(25.0, world.max_vis_dist)
         for i in np.nonzero(ok)[0]:
             u, v = int(round(uv[i, 0])), int(round(uv[i, 1]))
             if half <= u < W - half and half <= v < H - half:

@@ -110,6 +110,18 @@ def make_world(
         zc = rng.uniform(2.5, 4.0, n_ceil)
         ceil = np.stack([-radius + rc * np.cos(ac), rc * np.sin(ac), zc], -1)
         points = np.concatenate([wall, ceil]).astype(np.float32)
+    elif landmarks == "corridor":
+        # landmarks lining a straight corridor along +x (matches the 'line' /
+        # 'outback' trajectories): with a short max_vis_dist the feature set
+        # turns over constantly — the long-run map-GROWTH profile (the
+        # reference's unbounded map, culling as the only control,
+        # cLocalMapping.cpp:520-597)
+        Lx = 0.05 * n_frames * (0.5 if trajectory == "outback" else 1.0)
+        x = rng.uniform(-2.0, Lx + 2.0, n_points)
+        side = rng.choice([-1.0, 1.0], n_points)
+        y = side * rng.uniform(1.0, 2.5, n_points)
+        z = rng.uniform(-1.0, 2.0, n_points)
+        points = np.stack([x, y, z], -1).astype(np.float32)
     elif landmarks == "path":
         # landmarks hugging the circular PATH (center (-radius, 0)): combined
         # with a short max_vis_dist, each frame sees only a local arc — places
@@ -142,6 +154,14 @@ def make_world(
         elif trajectory == "line":
             poses[t, 3] = 0.05 * t
             poses[t, 0] = 0.001 * t
+        elif trajectory == "outback":
+            # out along +x for half the frames, then back over the same
+            # corridor (no rotation): the return leg revisits every earlier
+            # place with accumulated drift — loop closures fire over a LARGE
+            # keyframe graph (the in-vivo essential-graph-at-scale scenario)
+            half = n_frames // 2
+            u = t if t < half else (2 * half - t)
+            poses[t, 3] = 0.05 * u
         else:
             raise ValueError(trajectory)
     timestamps = np.arange(n_frames) / 25.0

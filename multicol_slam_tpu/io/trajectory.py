@@ -25,15 +25,33 @@ def pose_to_tum_line(timestamp: float, pose6: np.ndarray) -> str:
     )
 
 
-def save_lafida_trajectory(path: str, metrics: Sequence) -> None:
+def save_lafida_trajectory(path: str, metrics: Sequence, store=None) -> None:
     """metrics: list of FrameMetrics (slam/system.py). Only frames tracked in
-    the WORKING state are written (the reference writes per tracked frame)."""
+    the WORKING state are written (the reference writes per tracked frame).
+
+    When `store` (the final MapStore) is given, each frame's pose is
+    recomposed from its reference keyframe's FINAL pose and the recorded
+    relative pose — the reference writes its trajectory at shutdown from
+    keyframe poses (cSystem.cpp:260-290), so refinements (local BA on the
+    mapping worker, loop corrections) that landed after the frame was
+    tracked reach the output. Frames whose anchor keyframe was culled (or
+    whose slot was recycled) fall back to the track-time pose."""
+    from multicol_slam_tpu.slam.map_store import cayley_to_hom_np, hom_to_cayley_np
     from multicol_slam_tpu.slam.system import WORKING
 
     with open(path, "w") as f:
         for m in metrics:
-            if m.state == WORKING:
-                f.write(pose_to_tum_line(m.timestamp, m.pose) + "\n")
+            if m.state != WORKING:
+                continue
+            pose = m.pose
+            if (store is not None and m.rel_pose is not None
+                    and 0 <= m.ref_kf < len(store.kf_valid)
+                    and store.kf_valid[m.ref_kf]
+                    and int(store.kf_frame_id[m.ref_kf]) == m.ref_kf_frame):
+                pose = hom_to_cayley_np(
+                    cayley_to_hom_np(store.kf_pose[m.ref_kf])
+                    @ cayley_to_hom_np(m.rel_pose))
+            f.write(pose_to_tum_line(m.timestamp, pose) + "\n")
 
 
 def load_tum_trajectory(path: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -49,6 +49,15 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.redundancy_counts_fast.argtypes = [
                 _i32p, _i32p, _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _i32p,
             ]
+            lib.vote_counts.argtypes = [
+                _i32p, _u8p, ctypes.c_int64, ctypes.c_int64,
+                _u8p, ctypes.c_int64, _i32p,
+            ]
+            lib.find_slots.argtypes = [
+                _i32p, _u8p, ctypes.c_int64, ctypes.c_int64,
+                _u8p, ctypes.c_int64, _i32p, _i32p, _i32p, ctypes.c_int64,
+            ]
+            lib.find_slots.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib = None
@@ -100,6 +109,61 @@ def count_observations(kf_point: np.ndarray, kf_valid: np.ndarray, pt_ids: np.nd
         return np.zeros(len(pt_ids), np.int32)
     counts = np.bincount(flat, minlength=int(pt_ids.max(initial=0)) + 1)
     return counts[pt_ids].astype(np.int32)
+
+
+def vote_counts(kf_point: np.ndarray, kf_valid: np.ndarray,
+                seed_pts: np.ndarray, n_points: int) -> np.ndarray:
+    """votes[j] = feature slots of KF j assigned to a point in seed_pts (the
+    tracker's per-frame local-map vote). One C pass over the table; numpy
+    fallback is the np.isin scan it replaces."""
+    K, F = kf_point.shape
+    lib = _load()
+    if lib is not None:
+        mask = np.zeros(n_points, np.uint8)
+        sp = np.asarray(seed_pts, np.int64)
+        mask[sp[(sp >= 0) & (sp < n_points)]] = 1
+        out = np.zeros(K, np.int32)
+        lib.vote_counts(
+            np.ascontiguousarray(kf_point, np.int32),
+            np.ascontiguousarray(kf_valid, np.uint8),
+            K, F, mask, n_points, out,
+        )
+        return out
+    obs_mask = np.isin(kf_point, seed_pts) & (kf_point >= 0)
+    votes = obs_mask.sum(axis=1).astype(np.int32)
+    votes[~kf_valid.astype(bool)] = 0
+    return votes
+
+
+def find_slots(kf_point: np.ndarray, kf_valid: np.ndarray,
+               pt_ids: np.ndarray, n_points: int,
+               expected_hits: int):
+    """All (kf, feat, point) slots observing any of pt_ids, over valid KFs.
+    `expected_hits` sizes the output buffers (callers pass the incremental
+    pt_nobs sum); if the table holds more hits than expected the scan re-runs
+    with the true count. Returns (ks, fs, pid) int64 arrays."""
+    K, F = kf_point.shape
+    lib = _load()
+    if lib is not None:
+        mask = np.zeros(n_points, np.uint8)
+        sp = np.asarray(pt_ids, np.int64)
+        mask[sp[(sp >= 0) & (sp < n_points)]] = 1
+        kf_point_c = np.ascontiguousarray(kf_point, np.int32)
+        kf_valid_c = np.ascontiguousarray(kf_valid, np.uint8)
+        cap = max(int(expected_hits), 1)
+        while True:
+            ok = np.zeros(cap, np.int32)
+            of = np.zeros(cap, np.int32)
+            op = np.zeros(cap, np.int32)
+            n = lib.find_slots(kf_point_c, kf_valid_c, K, F, mask, n_points,
+                               ok, of, op, cap)
+            if n <= cap:
+                return (ok[:n].astype(np.int64), of[:n].astype(np.int64),
+                        op[:n].astype(np.int64))
+            cap = int(n)
+    hit = np.isin(kf_point, pt_ids) & kf_valid.astype(bool)[:, None]
+    ks, fs = np.nonzero(hit)
+    return ks, fs, kf_point[ks, fs].astype(np.int64)
 
 
 def redundancy_counts(

@@ -55,6 +55,20 @@ def pose_optimization(params: BAParams, obs: Observations):
     return p2.poses, inl2, jnp.sum(inl2)
 
 
+def _carries_mask(m) -> bool:
+    """True when a FreeMask calibration entry actually frees something a
+    solve flag must back: a per-camera array, or a concrete truthy scalar.
+    Traced scalars (the pytree-default False after jit tracing) are
+    unverifiable and treated as off."""
+    if m is False or m is None:
+        return False
+    if isinstance(m, jax.core.Tracer):
+        return getattr(m, "ndim", 0) >= 1
+    if getattr(m, "ndim", None) == 0 or isinstance(m, (bool, np.bool_)):
+        return bool(m)
+    return True
+
+
 def bundle_adjust(
     params: BAParams,
     obs: Observations,
@@ -71,7 +85,21 @@ def bundle_adjust(
     solve_mc/solve_intr must be True when free.mc/free.intr free those
     groups (self-calibrating modes): they statically gate the rig-calibration
     Jacobian blocks, the widest per-row data in the solver — the standard
-    fixed-rig modes skip them entirely."""
+    fixed-rig modes skip them entirely. A caller who frees mc/intr in the
+    mask without the matching solve flag would silently get a no-op on that
+    group (Jacobian block never computed -> zero gradient), so the mismatch
+    fails loudly here instead: a per-camera mask in free.mc/free.intr
+    requires its solve flag. (A traced scalar bool — the pytree default
+    `False` after jit tracing — is unverifiable and assumed off.)"""
+    if not solve_mc and _carries_mask(free.mc):
+        raise ValueError(
+            "free.mc carries a mask but solve_mc=False: the mc Jacobian "
+            "block would never be computed and the extrinsics would silently "
+            "stay fixed — pass solve_mc=True (or free.mc=False)")
+    if not solve_intr and _carries_mask(free.intr):
+        raise ValueError(
+            "free.intr carries a mask but solve_intr=False: pass "
+            "solve_intr=True (or free.intr=False)")
     cfg = LMConfig(max_iters=max_iters, cg_iters=cg_iters,
                    huber_delta=float(np.sqrt(CHI2_BA)),
                    solve_mc=solve_mc, solve_intr=solve_intr)
@@ -98,6 +126,9 @@ def bundle_adjust_interruptible(
     and friendly to a tracker sharing the device (see
     lm.lm_solve_interruptible for the chunk-size tradeoff). Rig calibration
     stays fixed in local BA (solve_mc/solve_intr off)."""
+    if _carries_mask(free.mc) or _carries_mask(free.intr):
+        raise ValueError("interruptible local BA keeps the rig fixed; "
+                         "free.mc/free.intr must be False")
     from multicol_slam_tpu.optim.lm import lm_solve_interruptible
 
     cfg = LMConfig(max_iters=max_iters, cg_iters=cg_iters,

@@ -58,6 +58,16 @@ class LMConfig(NamedTuple):
     # sets them True.
     solve_mc: bool = True
     solve_intr: bool = True
+    # Distributed layout (only meaningful under shard_map with axis_name):
+    # False = observation rows shard, everything else replicates — every
+    # segment reduction all-reduces (psum). True = points AND their
+    # observation rows co-shard (each device owns a contiguous point block
+    # and exactly the rows that reference it, with obs.pt in LOCAL indices):
+    # point-block reductions stay device-local (zero collective traffic for
+    # the dominant V/g_pt/h_pt terms — the >10M-point scaling axis,
+    # parallel/distributed.py cost model), only the small pose/rig blocks
+    # and scalars all-reduce.
+    points_sharded: bool = False
 
 
 def _mask_params(d: BAParams, free: FreeMask) -> BAParams:
@@ -78,10 +88,18 @@ def _mask_params(d: BAParams, free: FreeMask) -> BAParams:
     )
 
 
-def _dot(a: BAParams, b: BAParams) -> jnp.ndarray:
+def _dot(a: BAParams, b: BAParams, axis_name=None,
+         points_sharded: bool = False) -> jnp.ndarray:
+    """Inner product over the parameter tree. With points sharded, the point
+    component is a partial sum (psum'd); the replicated components are
+    identical on every device and must NOT be multiplied by the device
+    count."""
+    pt = jnp.vdot(a.points, b.points)
+    if points_sharded and axis_name is not None:
+        pt = jax.lax.psum(pt, axis_name)
     return (
         jnp.vdot(a.poses, b.poses)
-        + jnp.vdot(a.points, b.points)
+        + pt
         + jnp.vdot(a.mc, b.mc)
         + jnp.vdot(a.intr, b.intr)
     )
@@ -114,7 +132,8 @@ def _segsum(rows, ids, n_seg):
     return jnp.zeros((rows.shape[0], n_seg), rows.dtype).at[:, ids].add(rows).T
 
 
-def _build_grad_and_blocks(params, obs, Jp, Jx, Jm, Ji, w, r, axis_name=None):
+def _build_grad_and_blocks(params, obs, Jp, Jx, Jm, Ji, w, r, axis_name=None,
+                           points_sharded: bool = False):
     """RHS g = -J^T W r (the Gauss-Newton descent direction for residual
     r = measured - predicted) and block-diagonal (preconditioner) terms.
     Jacobian blocks arrive in [2, d, O] layout. With `axis_name` set,
@@ -148,13 +167,22 @@ def _build_grad_and_blocks(params, obs, Jp, Jx, Jm, Ji, w, r, axis_name=None):
         g_intr = jnp.zeros((C, Di))
         Ui = jnp.zeros((C, Di, Di))
     grad = BAParams(g_pose, g_pt, g_mc, g_intr)
-    grad = _psum_tree(grad, axis_name)
-    blocks = _psum_tree((U, V, Um, Ui), axis_name)
+    if points_sharded and axis_name is not None:
+        # point blocks/gradients are complete locally (rows co-shard with
+        # their points); only the replicated pose/rig groups all-reduce
+        grad = BAParams(jax.lax.psum(g_pose, axis_name), g_pt,
+                        jax.lax.psum(g_mc, axis_name),
+                        jax.lax.psum(g_intr, axis_name))
+        blocks = (jax.lax.psum(U, axis_name), V,
+                  jax.lax.psum(Um, axis_name), jax.lax.psum(Ui, axis_name))
+    else:
+        grad = _psum_tree(grad, axis_name)
+        blocks = _psum_tree((U, V, Um, Ui), axis_name)
     return grad, blocks
 
 
 def _hvp(obs, Jp, Jx, Jm, Ji, w, lam, blocks, free: FreeMask, v: BAParams,
-         axis_name=None) -> BAParams:
+         axis_name=None, points_sharded: bool = False) -> BAParams:
     """(J^T W J + lam * blockdiag) v via minor-axis gathers -> [2,O]/[d,O]
     lane-aligned contractions -> minor-axis scatter reductions.
     Sharded-observation partial sums are psum'd when axis_name is set; the
@@ -177,7 +205,12 @@ def _hvp(obs, Jp, Jx, Jm, Ji, w, lam, blocks, free: FreeMask, v: BAParams,
             if Jm is not None else jnp.zeros((C, 6)))
     h_intr = (_segsum(jnp.einsum("ijo,io->jo", Ji, wjv), obs.cam, C)
               if Ji is not None else jnp.zeros_like(v.intr))
-    h_pose, h_pt, h_mc, h_intr = _psum_tree((h_pose, h_pt, h_mc, h_intr), axis_name)
+    if points_sharded and axis_name is not None:
+        h_pose = jax.lax.psum(h_pose, axis_name)
+        h_mc = jax.lax.psum(h_mc, axis_name)
+        h_intr = jax.lax.psum(h_intr, axis_name)
+    else:
+        h_pose, h_pt, h_mc, h_intr = _psum_tree((h_pose, h_pt, h_mc, h_intr), axis_name)
     U, V, Um, Ui = blocks
     # Levenberg damping on the block diagonal (adds lam * diag(U) * v)
     h_pose = h_pose + lam * jnp.einsum("kab,kb->ka", _diag_only(U), v.poses)
@@ -240,28 +273,33 @@ def _precond_apply(Minv, free: FreeMask, g: BAParams) -> BAParams:
 
 
 def _pcg(obs, Jp, Jx, Jm, Ji, w, lam, blocks, Minv, free, g: BAParams, n_iters: int,
-         axis_name=None) -> BAParams:
+         axis_name=None, points_sharded: bool = False) -> BAParams:
     """Preconditioned CG for (H + lam D) delta = g. Fixed iteration count.
-    Under shard_map, g/blocks/Minv are replicated, the Hvp shards rows."""
+    Under shard_map, g/blocks/Minv are replicated (or point-sharded), the
+    Hvp shards rows."""
     x0 = jax.tree.map(jnp.zeros_like, g)
     r0 = g  # since x0 = 0
     z0 = _precond_apply(Minv, free, r0)
     p0 = z0
 
+    def dot(a, b):
+        return _dot(a, b, axis_name, points_sharded)
+
     def body(i, state):
         x, r, z, p, rz = state
-        Hp = _hvp(obs, Jp, Jx, Jm, Ji, w, lam, blocks, free, p, axis_name)
-        pHp = _dot(p, Hp)
+        Hp = _hvp(obs, Jp, Jx, Jm, Ji, w, lam, blocks, free, p, axis_name,
+                  points_sharded)
+        pHp = dot(p, Hp)
         alpha = rz / jnp.maximum(pHp, 1e-20)
         x = _axpy(alpha, p, x)
         r = _axpy(-alpha, Hp, r)
         z = _precond_apply(Minv, free, r)
-        rz_new = _dot(r, z)
+        rz_new = dot(r, z)
         beta = rz_new / jnp.maximum(rz, 1e-20)
         p = _axpy(beta, p, z)
         return x, r, z, p, rz_new
 
-    x, *_ = jax.lax.fori_loop(0, n_iters, body, (x0, r0, z0, p0, _dot(r0, z0)))
+    x, *_ = jax.lax.fori_loop(0, n_iters, body, (x0, r0, z0, p0, dot(r0, z0)))
     return x
 
 
@@ -286,11 +324,12 @@ def _lm_step_body(state: LMState, obs: Observations, free: FreeMask,
     r, z, Jp, Jx, Jm, Ji = residuals_and_jacobians(
         p, obs, with_mc=config.solve_mc, with_intr=config.solve_intr)
     w, _ = huber_weights(r, z, obs, config.huber_delta)
-    grad, blocks = _build_grad_and_blocks(p, obs, Jp, Jx, Jm, Ji, w, r, axis_name)
+    grad, blocks = _build_grad_and_blocks(p, obs, Jp, Jx, Jm, Ji, w, r, axis_name,
+                                          config.points_sharded)
     grad = _mask_params(grad, free)
     Minv = tuple(_block_inv(B, state.lam) for B in blocks)
     delta = _pcg(obs, Jp, Jx, Jm, Ji, w, state.lam, blocks, Minv, free, grad,
-                 config.cg_iters, axis_name)
+                 config.cg_iters, axis_name, config.points_sharded)
     delta = jax.tree.map(lambda x: jnp.where(jnp.isfinite(x), x, 0.0), delta)
     new_params = jax.tree.map(lambda a, b: a + b, p, _mask_params(delta, free))
     new_cost = _lm_cost(new_params, obs, config, axis_name)

@@ -199,3 +199,61 @@ def extract_features(
 @functools.partial(jax.jit, static_argnames=("settings", "n_features", "fast_th"))
 def extract_features_jit(images, cams, settings, n_features=None, fast_th=None):
     return extract_features(images, cams, settings, n_features, fast_th)
+
+
+def downselect_features(feats: FrameFeatures, K: int,
+                        keep: Optional[np.ndarray] = None,
+                        quotas: Optional[np.ndarray] = None):
+    """Reduce a [C, K2] FrameFeatures (the init-mode extractor bank doubles
+    features, cTracking.cpp:152-158) to the runtime [C, K] capacity the map
+    store and tracking programs are shaped for.
+
+    Per camera, rows flagged in `keep` (FLAT indices c*K2 + i — e.g. the
+    initializer's triangulated features) win slots first; the rest fill by
+    detector response. `quotas` (per-pyramid-level slot budgets, summing to
+    <= K — pass ops.fast.level_quota of the RUNTIME bank) preserves the
+    extractor's level distribution: a pure response ordering measurably
+    starves the coarse levels (level-0 corners score higher), which guts
+    scale-band matching as the camera moves. Host-side numpy — runs once per
+    initialization event, never per frame. Returns (FrameFeatures [C, K],
+    remap [C*K2] -> flat [C*K] index or -1)."""
+    C, K2 = int(feats.uv.shape[0]), int(feats.uv.shape[1])
+    fields = {
+        name: np.asarray(getattr(feats, name))
+        for name in ("uv", "response", "octave", "angle", "rays", "desc", "dmask", "valid")
+    }
+    keep_mask = np.zeros((C, K2), bool)
+    if keep is not None and len(keep):
+        keep = np.asarray(keep, np.int64)
+        keep_mask[keep // K2, keep % K2] = True
+    out = {name: np.zeros((C, K) + a.shape[2:], a.dtype) for name, a in fields.items()}
+    out["dmask"][:] = 255
+    remap = np.full(C * K2, -1, np.int64)
+    for c in range(C):
+        prio = np.where(fields["valid"][c], fields["response"][c], -np.inf)
+        prio = np.where(keep_mask[c], prio + 1e9, prio)
+        if quotas is not None:
+            octv = fields["octave"][c]
+            chosen: list = []
+            taken = np.zeros(K2, bool)
+            for lvl, q in enumerate(np.asarray(quotas, np.int64)):
+                cand = np.nonzero((octv == lvl) & np.isfinite(prio))[0]
+                cand = cand[np.argsort(-prio[cand], kind="stable")][:q]
+                chosen.append(cand)
+                taken[cand] = True
+            # leftover capacity fills globally by priority
+            rest = np.nonzero(~taken & np.isfinite(prio))[0]
+            room = K - sum(len(x) for x in chosen)
+            if room > 0 and len(rest):
+                rest = rest[np.argsort(-prio[rest], kind="stable")][:room]
+                chosen.append(rest)
+            order = np.concatenate(chosen)[:K] if chosen else np.empty(0, np.int64)
+        else:
+            order = np.argsort(-prio, kind="stable")[:K]
+            order = order[np.isfinite(prio[order])]
+        n = len(order)
+        for name, a in fields.items():
+            out[name][c, :n] = a[c][order]
+        out["valid"][c, n:] = False
+        remap[c * K2 + order] = c * K + np.arange(n)
+    return FrameFeatures(**{k: jnp.asarray(v) for k, v in out.items()}), remap

@@ -43,7 +43,8 @@ from multicol_slam_tpu.utils.geometry import (
 MIN_MATCHES = 100            # cTracking.cpp:417
 MIN_BASELINE_NORM = 0.06     # cMultiInitializer.cpp:183 translation gate
 REPROJ_TH = 4.0              # CheckRT reprojection gate (:200-307)
-MIN_MEDIAN_DISPARITY = 0.015  # rad; rotation-compensated parallax floor
+MIN_MEDIAN_DISPARITY = 0.015
+DEBUG_INIT = False  # gate-rejection tracing (set True to see why init waits)  # rad; rotation-compensated parallax floor
 
 
 class InitResult(NamedTuple):
@@ -74,6 +75,9 @@ def bootstrap(
     would keep the baseline at one frame step forever); the reference is
     only re-snapshotted when the match count collapses (cTracking.cpp:398).
     """
+    def _why(reason):
+        if DEBUG_INIT:
+            print(f"[bootstrap] reject: {reason}")
     key = key if key is not None else jax.random.PRNGKey(0)
     C, K = np.asarray(feats1.valid).shape
     # rotation-histogram filter on (SearchForInitialization checkOrientation,
@@ -86,6 +90,7 @@ def bootstrap(
     match_idx = np.asarray(match_idx)      # [C, K] index into frame2 (same cam)
     n_total = int((match_idx >= 0).sum())
     if n_total < MIN_MATCHES:
+        _why(f"matches {n_total} < {MIN_MATCHES}")
         return None, n_total
     best = None
     for c in range(C):
@@ -101,9 +106,11 @@ def bootstrap(
         if best is None or n_inl > best[1]:
             best = (c, n_inl, res, sel)
     if best is None:
+        _why("no camera with >=30 matches")
         return None, n_total
     c, n_inl, res, sel = best
     if n_inl < 0.5 * len(sel) or n_inl < 30:
+        _why(f"essential inliers {n_inl}/{len(sel)}")
         return None, n_total
     R = np.asarray(res.R, np.float64)
     t = np.asarray(res.t, np.float64)
@@ -120,8 +127,15 @@ def bootstrap(
     S = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
     R0 = U @ S @ Vt                      # best r1 ~ R0 r2
     cosd = np.clip(np.sum(r1_all * (r2_all @ R0.T), axis=-1), -1.0, 1.0)
-    med_rot_resid = float(np.median(np.arccos(cosd)))
+    # top-QUARTILE residual, not the median: parallax scales with 1/depth,
+    # so in a deep scene (walls at 10+ m) the median is dominated by far
+    # points and the gate stalls initialization for many frames after the
+    # NEAR field already carries solid baseline. Under true pure rotation
+    # every residual is matching noise, so the 75th percentile stays below
+    # the floor just as safely.
+    med_rot_resid = float(np.percentile(np.arccos(cosd), 75))
     if med_rot_resid < MIN_MEDIAN_DISPARITY:
+        _why(f"p75 disparity {med_rot_resid:.4f} < {MIN_MEDIAN_DISPARITY}")
         return None, n_total
     # triangulate inliers in cam1 frame (o1=0; cam2 center = -R^T t)
     r1 = np.asarray(feats1.rays)[c][sel]
@@ -139,6 +153,7 @@ def bootstrap(
     # unstable (the reference's norm > 0.06 translation gate)
     med_depth = np.median(np.linalg.norm(X[good], axis=-1)) if good.any() else 0.0
     if med_depth <= 0 or np.linalg.norm(t) / med_depth < 0.02:
+        _why(f"baseline/depth {np.linalg.norm(t)/max(med_depth,1e-9):.4f} < 0.02")
         return None, n_total
     # reprojection gate in both views (angular proxy: ray alignment in px at
     # the omni focal ~ |a0|; CheckRT uses pixel reprojection <= 4px)
@@ -152,6 +167,7 @@ def bootstrap(
     good &= np.linalg.norm(uv1p - uv1, axis=-1) < REPROJ_TH
     good &= np.linalg.norm(uv2p - uv2, axis=-1) < REPROJ_TH
     if good.sum() < 30:
+        _why(f"CheckRT survivors {int(good.sum())} < 30")
         return None, n_total
     # monocular gauge: median depth -> 1
     depths = np.linalg.norm(X[good], axis=-1)

@@ -255,9 +255,12 @@ class LocalMapper:
     # ------------------------------------------------------------------
     def process_new_keyframe(self, k: int):
         """ProcessNewMultiKeyFrame (cLocalMapping.cpp:145-186): refresh point
-        stats for points observed by the new KF."""
+        stats for points observed by the new KF and attach it to the
+        covisibility spanning tree (the reference's first UpdateConnections
+        sets mpParent, cMultiKeyFrame.h:52-72)."""
         pts = self.store.kf_point[k]
         self.store.update_point_stats_many(pts[pts >= 0])
+        self.store.assign_parent(k)
 
     # ------------------------------------------------------------------
     def cull_map_points(self, current_kf: int):
@@ -608,8 +611,9 @@ class LocalMapper:
         )
         obs = Observations(
             jnp.asarray(np.pad(prob["obs_kf"], (0, pO - nO))),
-            # padding on the LAST point slot keeps the point-sorted column
-            # sorted (prefix-sum reduction contract, optim/lm._sorted_segsum)
+            # padding rows carry the LAST (padding) point slot purely for
+            # scatter locality — optim/lm._segsum is an order-independent
+            # scatter-add, so any masked-out slot would be correct
             jnp.asarray(np.pad(prob["obs_pt"], (0, pO - nO), constant_values=pP - 1)),
             jnp.asarray(np.pad(prob["obs_cam"], (0, pO - nO))),
             jnp.asarray(np.pad(prob["obs_uv"], ((0, pO - nO), (0, 0)))),

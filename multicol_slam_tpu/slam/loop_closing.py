@@ -110,6 +110,18 @@ class LoopCloser:
         self.mc6 = jnp.asarray(np.asarray(rig.Mc_cayley, np.float32))
         self.intr = jnp.asarray(rig.cams.to_vector())
         self.n_loops_closed = 0
+        # True while CorrectLoop is in progress: the tracker's NeedNewKeyFrame
+        # gate refuses insertions meanwhile (the reference blocks insertion
+        # while the mapper is stopped for a loop correction,
+        # cTracking.cpp:899-901) so the correction's snapshot set stays the
+        # keyframe set being committed.
+        self.loop_correcting = False
+        # observability for the real-time contract: wall-time of every
+        # lock-HELD phase of CorrectLoop (the only windows a tracked frame
+        # can stall on this subsystem). The device solve and SearchAndFuse
+        # dispatches run lock-free, so these should all be small host-numpy
+        # commits; bench/tests gate on the max.
+        self.locked_phase_ms: List[float] = []
         self._bootstrap_descs: List[np.ndarray] = []
         # monotonic processed-keyframe counter for the <10-KFs-since-last-loop
         # gate: KF slot ids are recycled by the free list so they are NOT
@@ -445,33 +457,63 @@ class LoopCloser:
         Lock discipline (snapshot->device->commit, same shape as
         local_mapping.create_new_points): the pose/point propagation and
         duplicate replacement are pure-numpy phases under the map lock; the
-        SearchAndFuse projection programs dispatch with the lock RELEASED
-        (the reference only stops the *mapper* during CorrectLoop — tracking
-        keeps running, cLoopClosing.cpp:464-490); the fuse results and the
-        essential-graph solve then commit under the lock."""
+        SearchAndFuse projection programs AND the essential-graph solve +
+        point remap dispatch with the lock RELEASED (the reference only
+        stops the *mapper* during CorrectLoop — tracking keeps running,
+        cLoopClosing.cpp:464-490); results commit under the lock with
+        validity re-checks. Concurrent tracker writes during the lock-free
+        phases are pose/stats only — points and keyframes are created/erased
+        exclusively by this worker thread, and new keyframe insertion is
+        refused by the tracker's gate while `loop_correcting` is set."""
+        import time as _time
+        from contextlib import contextmanager
+
+        @contextmanager
+        def timed_lock():
+            t0 = _time.perf_counter()
+            with self.lock:
+                t1 = _time.perf_counter()
+                yield
+                self.locked_phase_ms.append((_time.perf_counter() - t1) * 1e3)
+            del t0
+
         s = self.store
-        with self.lock:
-            corrected, snapshot, remapped, remap_ref = self._propagate_correction(
-                k, cand, v7_kc, loop_match)
-        # --- SearchAndFuse device phase, lock-free (cLoopClosing.cpp:670-745):
-        # project the loop points into every corrected-group KF from its
-        # already-corrected pose; descriptor tables are append-only so the
-        # benignly-stale read discipline of detection applies here too
-        loop_pts_v = loop_pts[s.pt_valid[loop_pts]]
-        fuse_assign: Dict[int, np.ndarray] = {}
-        for j in corrected:
-            if not s.kf_valid[j] or len(loop_pts_v) == 0:
-                continue
-            if self.yield_gate is not None:
-                self.yield_gate()
-            fuse_assign[j] = self._project_loop_points(
-                j, s.kf_pose[j], loop_pts_v, radius=6.0)
-        with self.lock:
-            self._commit_fuse(fuse_assign, loop_pts_v)
-            s.update_point_stats_many(np.asarray(sorted(remapped), np.int64))
-            # --- essential-graph optimization over all keyframes -----------
-            self._essential_graph(k, cand, corrected, snapshot, remap_ref)
-            s.loop_edges.append((k, cand))
+        self.loop_correcting = True
+        try:
+            with timed_lock():
+                corrected, snapshot, remapped, remap_ref = self._propagate_correction(
+                    k, cand, v7_kc, loop_match)
+            # --- SearchAndFuse device phase, lock-free (cLoopClosing.cpp:
+            # 670-745): project the loop points into every corrected-group KF
+            # from its already-corrected pose; descriptor tables are
+            # append-only so the benignly-stale read discipline of detection
+            # applies here too
+            loop_pts_v = loop_pts[s.pt_valid[loop_pts]]
+            fuse_assign: Dict[int, np.ndarray] = {}
+            for j in corrected:
+                if not s.kf_valid[j] or len(loop_pts_v) == 0:
+                    continue
+                if self.yield_gate is not None:
+                    self.yield_gate()
+                fuse_assign[j] = self._project_loop_points(
+                    j, s.kf_pose[j], loop_pts_v, radius=6.0)
+            with timed_lock():
+                self._commit_fuse(fuse_assign, loop_pts_v)
+                s.update_point_stats_many(np.asarray(sorted(remapped), np.int64))
+                # --- essential-graph problem gather (pure numpy, lock) -----
+                prob = self._eg_build(k, cand, corrected, snapshot, remap_ref)
+            if prob is not None:
+                # --- the expensive phase, lock-free: device GN over all
+                # keyframes + the all-points remap on the snapshot ----------
+                if self.yield_gate is not None:
+                    self.yield_gate()
+                sol = self._eg_solve(prob)
+                with timed_lock():
+                    self._eg_commit(prob, sol)
+            with timed_lock():
+                s.loop_edges.append((k, cand))
+        finally:
+            self.loop_correcting = False
 
     def _propagate_correction(self, k: int, cand: int, v7_kc: np.ndarray,
                               loop_match: Dict[int, int]):
@@ -571,21 +613,37 @@ class LoopCloser:
     def _essential_graph(self, k: int, cand: int, corrected: Dict[int, Tuple],
                          snapshot: Dict[int, np.ndarray],
                          remap_ref: Optional[Dict[int, int]] = None):
-        """OptimizeEssentialGraph (cOptimizerLoopStuff.cpp:273-520): vertices
-        initialized from the corrected Sim3s (group) / snapshot (others);
-        chain + covisibility edges measured from the PRE-correction snapshot,
-        loop edges measured from the corrected estimates — so the residual at
-        the group boundary is exactly the loop correction, and GN distributes
-        it over the whole graph."""
+        """Build+solve+commit in one call (the sequential/test path; _correct
+        interleaves the same three phases with the map lock)."""
+        prob = self._eg_build(k, cand, corrected, snapshot, remap_ref)
+        if prob is not None:
+            self._eg_commit(prob, self._eg_solve(prob))
+
+    def _eg_build(self, k: int, cand: int, corrected: Dict[int, Tuple],
+                  snapshot: Dict[int, np.ndarray],
+                  remap_ref: Optional[Dict[int, int]] = None):
+        """Lock-held gather phase of OptimizeEssentialGraph
+        (cOptimizerLoopStuff.cpp:273-520): vertices initialized from the
+        corrected Sim3s (group) / snapshot (others); chain + covisibility
+        edges measured from the PRE-correction snapshot, loop edges measured
+        from the corrected estimates — so the residual at the group boundary
+        is exactly the loop correction, and GN distributes it over the whole
+        graph. Pure numpy (no device dispatch under the map lock); returns a
+        self-contained problem dict incl. the point snapshot for the remap."""
         s = self.store
         kfs = [int(j) for j in s.active_kfs()]
         idx = {j: i for i, j in enumerate(kfs)}
         K = len(kfs)
         if K < 3:
-            return
-        # vertex init from corrected (group) / snapshot (others); ONE batched
-        # sim3_log launch for all vertices (a per-vertex device call would put
-        # K tiny dispatches on the hot tracker-stall path)
+            return None
+        # vertex init from corrected (group) / snapshot (others). A keyframe
+        # inserted between the snapshot and this gather (possible only in the
+        # narrow window before the tracker observes loop_correcting) falls
+        # back to its CURRENT pose — it was tracked against the already-
+        # corrected map, so its pose is consistent with the corrected frame.
+        def _fallback_bw(j):
+            return hom_inverse_np(cayley_to_hom_np(s.kf_pose[j]))
+
         vR = np.zeros((K, 3, 3), np.float32)
         vt = np.zeros((K, 3), np.float32)
         vs = np.ones(K, np.float32)
@@ -594,18 +652,17 @@ class LoopCloser:
             if j in corrected:
                 vR[i], vt[i], vs[i] = corrected[j]
             else:
-                Tbw = snapshot[j]
+                Tbw = snapshot.get(j)
+                if Tbw is None:
+                    Tbw = _fallback_bw(j)
                 vR[i], vt[i], vs[i] = Tbw[:3, :3], Tbw[:3, 3], 1.0
-        v = np.asarray(jax.vmap(sim3_log)(
-            jnp.asarray(vR), jnp.asarray(vt), jnp.asarray(vs)))
-        # keep the vertex-init poses: they are the "old" poses for the final
-        # point remap (reference keeps vScw before optimization, :480-520)
-        v_init = v.copy()
         ei, ej, wts = [], [], []
         mR, mt, ms = [], [], []
 
         def _snap_sim3(j):
-            Tbw = snapshot[j]
+            Tbw = snapshot.get(j)
+            if Tbw is None:
+                Tbw = _fallback_bw(j)
             return Tbw[:3, :3], Tbw[:3, 3], 1.0
 
         def _curr_sim3(j):
@@ -626,13 +683,22 @@ class LoopCloser:
             ms.append(sm)
             wts.append(weight)
 
-        # chain in TIME order (kf_frame_id is monotonic; slot ids are not).
-        # Uniform edge weights, like the reference: a 1/time-gap information
-        # model was tried and measurably WORSENED raw trajectory error — the
-        # estimated trajectory's error profile is shaped by local BA, not by
-        # per-frame odometry variance, so uniform per-edge distribution wins.
+        # spanning-tree chain (cOptimizerLoopStuff.cpp:380-420; the tree is
+        # cMultiKeyFrame.h:52-72): each KF constrains its max-covisibility
+        # parent — after culling, time-adjacent KFs may share zero
+        # observations, so a time-order chain would add constraints the
+        # reference never would. KFs without a live parent (the root; rare
+        # orphans) fall back to their time predecessor to keep the graph
+        # connected. Uniform edge weights, like the reference: a 1/time-gap
+        # information model was tried and measurably WORSENED raw trajectory
+        # error — the estimated trajectory's error profile is shaped by local
+        # BA, not by per-frame odometry variance.
         ordered = sorted(kfs, key=lambda j: int(s.kf_frame_id[j]))
-        for a, b in zip(ordered[:-1], ordered[1:]):
+        pos = {j: i for i, j in enumerate(ordered)}
+        for b in ordered[1:]:
+            a = int(s.kf_parent[b])
+            if a not in idx or a == b:
+                a = ordered[pos[b] - 1]
             add_edge(a, b, from_snapshot=True)
         cov_done = set()
         for a in ordered:
@@ -643,33 +709,60 @@ class LoopCloser:
         for (a, b) in s.loop_edges + [(k, cand)]:
             if a in idx and b in idx:
                 add_edge(a, b, from_snapshot=False, weight=5.0)
-        # ONE batched sim3_log launch for all edge measurements
-        meas = np.asarray(jax.vmap(sim3_log)(
-            jnp.asarray(np.stack(mR), jnp.float32),
-            jnp.asarray(np.stack(mt), jnp.float32),
-            jnp.asarray(np.stack(ms), jnp.float32)))
-        edges = Sim3Edges(
-            jnp.asarray(ei, jnp.int32),
-            jnp.asarray(ej, jnp.int32),
-            jnp.asarray(meas, jnp.float32),
-            jnp.asarray(wts, jnp.float32),
-            jnp.ones(len(ei), bool),
-        )
         fixed = np.zeros(K, bool)
         fixed[idx[cand]] = True
-        v_out = np.asarray(
-            optimize_essential_graph(jnp.asarray(v), edges, jnp.asarray(fixed), n_iters=15)
+        # point snapshot for the lock-free remap: positions + reference KF
+        # (each point remaps via its first/corrector KF's old->new transform,
+        # reference keeps vScw before optimization, :480-520)
+        pts = s.active_points()
+        refs = s.pt_first_kf[pts].copy()
+        if remap_ref and len(pts):
+            rr = np.asarray(list(remap_ref.items()), np.int64)   # [M, 2]
+            ppos = np.searchsorted(pts, rr[:, 0])
+            ppos = np.clip(ppos, 0, len(pts) - 1)
+            ok = pts[ppos] == rr[:, 0]
+            refs[ppos[ok]] = rr[ok, 1]
+        return dict(
+            kfs=kfs, idx=idx,
+            vR=vR, vt=vt, vs=vs,
+            ei=np.asarray(ei, np.int32), ej=np.asarray(ej, np.int32),
+            wts=np.asarray(wts, np.float32),
+            mR=np.stack(mR).astype(np.float32), mt=np.stack(mt).astype(np.float32),
+            ms=np.asarray(ms, np.float32),
+            fixed=fixed,
+            pts=pts, refs=refs, ptX=s.pt_X[pts].copy(),
         )
-        # recover SE3 poses + remap points via each point's first KF (:480-520)
-        # (two batched sim3_exp launches instead of 2K tiny ones)
+
+    def _eg_solve(self, prob):
+        """Lock-free solve phase: the batched sim3 log/exp launches, the
+        essential-graph GN (the dominant cost — a 15-iteration device program
+        over all keyframes), and the full point remap computed on the
+        problem's snapshot arrays. No store access."""
+        kfs = prob["kfs"]
+        v = np.asarray(jax.vmap(sim3_log)(
+            jnp.asarray(prob["vR"]), jnp.asarray(prob["vt"]), jnp.asarray(prob["vs"])))
+        meas = np.asarray(jax.vmap(sim3_log)(
+            jnp.asarray(prob["mR"]), jnp.asarray(prob["mt"]), jnp.asarray(prob["ms"])))
+        edges = Sim3Edges(
+            jnp.asarray(prob["ei"]), jnp.asarray(prob["ej"]),
+            jnp.asarray(meas, jnp.float32), jnp.asarray(prob["wts"]),
+            jnp.ones(len(prob["ei"]), bool),
+        )
+        v_out = np.asarray(
+            optimize_essential_graph(jnp.asarray(v), edges,
+                                     jnp.asarray(prob["fixed"]), n_iters=15)
+        )
+        # recover SE3 poses (two batched sim3_exp launches instead of 2K tiny
+        # ones); v is the "old" pose set for the point remap
         Ro_all, to_all, so_all = (np.asarray(a, np.float64) for a in
-                                  jax.vmap(sim3_exp)(jnp.asarray(v_init)))
+                                  jax.vmap(sim3_exp)(jnp.asarray(v)))
         Rn_all, tn_all, sn_all = (np.asarray(a, np.float64) for a in
                                   jax.vmap(sim3_exp)(jnp.asarray(v_out)))
+        K = len(kfs)
+        new_pose6 = np.zeros((K, 6), np.float32)
         old_bw: Dict[int, np.ndarray] = {}
         new_sim3: Dict[int, Tuple[np.ndarray, np.ndarray, float]] = {}
-        for j in kfs:
-            i = idx[j]
+        for i, j in enumerate(kfs):
             Told = np.eye(4)
             Told[:3, :3] = Ro_all[i]
             Told[:3, 3] = to_all[i] / so_all[i]
@@ -678,26 +771,33 @@ class LoopCloser:
             Tbw = np.eye(4)
             Tbw[:3, :3] = Rn_all[i]
             Tbw[:3, 3] = tn_all[i] / sn_all[i]
-            s.kf_pose[j] = hom_to_cayley_np(np.linalg.inv(Tbw))
-        # batch the point remap by reference keyframe (one numpy pass per KF
-        # instead of one device call per point)
-        pts = s.active_points()
-        if len(pts) == 0:
-            return
-        refs = s.pt_first_kf[pts].copy()
-        if remap_ref:
-            rr = np.asarray(list(remap_ref.items()), np.int64)   # [M, 2]
-            pos = np.searchsorted(pts, rr[:, 0])
-            pos = np.clip(pos, 0, len(pts) - 1)
-            ok = pts[pos] == rr[:, 0]
-            refs[pos[ok]] = rr[ok, 1]
+            new_pose6[i] = hom_to_cayley_np(np.linalg.inv(Tbw))
+        # batch the point remap by reference keyframe on the SNAPSHOT
+        # positions (one numpy pass per KF)
+        pts, refs, ptX = prob["pts"], prob["refs"], prob["ptX"].copy()
         for j in np.unique(refs):
             j = int(j)
             if j not in new_sim3:
                 continue
-            sel = pts[refs == j]
+            sel = refs == j
             Told = old_bw[j]
             Rn, tn, sn = new_sim3[j]
-            Xb = s.pt_X[sel] @ Told[:3, :3].T + Told[:3, 3]
+            Xb = ptX[sel] @ Told[:3, :3].T + Told[:3, 3]
             Ri_, ti_, si_ = _np_sim3_inverse(Rn, tn, sn)
-            s.pt_X[sel] = _np_sim3_apply(Ri_, ti_, si_, Xb)
+            ptX[sel] = _np_sim3_apply(Ri_, ti_, si_, Xb)
+        return dict(new_pose6=new_pose6, newX=ptX)
+
+    def _eg_commit(self, prob, sol):
+        """Lock-held commit: write optimized poses for keyframes still valid
+        and remapped positions for points still valid. Point positions cannot
+        have changed since the snapshot (only this worker thread triangulates
+        or BA-moves points), so no freshness merge is needed — only validity
+        re-checks against culling."""
+        s = self.store
+        for i, j in enumerate(prob["kfs"]):
+            if s.kf_valid[j]:
+                s.kf_pose[j] = sol["new_pose6"][i]
+        pts = prob["pts"]
+        if len(pts):
+            alive = s.pt_valid[pts]
+            s.pt_X[pts[alive]] = sol["newX"][alive]

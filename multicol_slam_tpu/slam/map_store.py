@@ -120,6 +120,11 @@ class MapStore:
         self.kf_feat_valid = np.zeros((K, F), bool)
         # feature -> map point assignment (mvpMapPoints)
         self.kf_point = np.full((K, F), BAD_ID, np.int32)
+        # covisibility spanning tree (cMultiKeyFrame.h:52-72): parent = the
+        # max-covisibility keyframe among earlier-established ones, assigned
+        # at the KF's first connection update; the essential graph chains
+        # along these edges (cOptimizerLoopStuff.cpp:380-420)
+        self.kf_parent = np.full(K, BAD_ID, np.int32)
         # --- points --------------------------------------------------------
         self.pt_valid = np.zeros(P, bool)
         self.pt_X = np.zeros((P, 3), np.float32)
@@ -161,9 +166,9 @@ class MapStore:
         self._grow_axis0(
             ["kf_valid", "kf_pose", "kf_timestamp", "kf_frame_id", "kf_uv",
              "kf_rays", "kf_octave", "kf_angle", "kf_desc", "kf_dmask",
-             "kf_feat_valid", "kf_point"],
+             "kf_feat_valid", "kf_point", "kf_parent"],
             old, new,
-            [False, 0, 0, -1, 0, 0, 0, 0, 0, 255, False, BAD_ID],
+            [False, 0, 0, -1, 0, 0, 0, 0, 0, 255, False, BAD_ID, BAD_ID],
         )
         self.cfg.max_keyframes = new
         print(f"[multicol-slam] map grew: keyframe capacity {old} -> {new}")
@@ -209,12 +214,51 @@ class MapStore:
         self.kf_dmask[k] = np.asarray(feats.dmask).reshape(F, -1)
         self.kf_feat_valid[k] = np.asarray(feats.valid).reshape(F)
         self.kf_point[k] = BAD_ID
+        self.kf_parent[k] = BAD_ID
         return k
+
+    def assign_parent(self, k: int):
+        """First-connection parent assignment (cMultiKeyFrame's
+        UpdateConnections sets mpParent to the max-weight covisible KF the
+        first time connections are built): parent = the max-covisibility
+        keyframe among EARLIER-established ones (frame-id ordering keeps the
+        tree acyclic). No-op once parented."""
+        if not self.kf_valid[k] or self.kf_parent[k] != BAD_ID:
+            return
+        best, bw = BAD_ID, 0
+        my_fid = self.kf_frame_id[k]
+        for j, w in self.covisibility(int(k)).items():
+            if j != k and self.kf_valid[j] and self.kf_frame_id[j] < my_fid and w > bw:
+                best, bw = int(j), int(w)
+        self.kf_parent[k] = best
 
     def erase_keyframe(self, k: int):
         """SetBadFlag equivalent: detach all observations, free the slot
-        (cMultiKeyFrame.cpp:583-660; spanning-tree reparenting is implicit —
-        covisibility is recomputed from the table)."""
+        (cMultiKeyFrame.cpp:583-660), and re-home spanning-tree children with
+        the reference's candidate loop: candidates start as the erased KF's
+        parent; each child attaches to its max-covisibility candidate and
+        then becomes a candidate itself."""
+        children = [int(c) for c in np.nonzero((self.kf_parent == k) & self.kf_valid)[0]]
+        parent_of_k = int(self.kf_parent[k])
+        if children:
+            candidates = [parent_of_k] if parent_of_k != BAD_ID else []
+            while children and candidates:
+                best = None  # (weight, child, new_parent)
+                for c in children:
+                    cov = self.covisibility(c)
+                    for p in candidates:
+                        w = cov.get(p, 0)
+                        if w > 0 and (best is None or w > best[0]):
+                            best = (w, c, p)
+                if best is None:
+                    break
+                _, c, p = best
+                self.kf_parent[c] = p
+                candidates.append(c)
+                children.remove(c)
+            for c in children:  # no covisibility with any candidate
+                self.kf_parent[c] = parent_of_k
+        self.kf_parent[k] = BAD_ID
         row = self.kf_point[k]
         obs = row[row >= 0]
         pts = np.unique(obs)
@@ -235,8 +279,11 @@ class MapStore:
         live = pts[self.pt_valid[pts]]
         orphans = live[self.pt_first_kf[live] == k]
         if len(orphans):
-            ks2, fs2 = np.nonzero(np.isin(self.kf_point, orphans))
-            vals = self.kf_point[ks2, fs2]
+            from multicol_slam_tpu import native
+
+            ks2, _, vals = native.find_slots(
+                self.kf_point, self.kf_valid, orphans, self.cfg.max_points,
+                expected_hits=int(self.pt_nobs[orphans].sum()))
             for p in orphans:
                 owners = ks2[vals == p]
                 self.pt_first_kf[p] = int(owners[0]) if len(owners) else BAD_ID
@@ -270,8 +317,9 @@ class MapStore:
 
     def erase_point(self, p: int):
         self.pt_valid[p] = False
-        mask = self.kf_point == p
-        self.kf_point[mask] = BAD_ID
+        if self.pt_nobs[p] > 0:  # unobserved points need no table scan
+            mask = self.kf_point == p
+            self.kf_point[mask] = BAD_ID
         self.pt_nobs[p] = 0
         self._free_pt.append(p)
 
@@ -356,12 +404,16 @@ class MapStore:
         ps = ps[(ps >= 0) & self.pt_valid[ps]]
         if len(ps) == 0:
             return
-        # one scan over the observation table for all requested points
-        hit = np.isin(self.kf_point, ps) & self.kf_valid[:, None]
-        ks_all, fs_all = np.nonzero(hit)
+        # one scan over the observation table for all requested points (C
+        # pass in native/mapops.cpp; buffer sized from the incremental
+        # pt_nobs counts)
+        from multicol_slam_tpu import native
+
+        ks_all, fs_all, pid = native.find_slots(
+            self.kf_point, self.kf_valid, ps, self.cfg.max_points,
+            expected_hits=int(self.pt_nobs[ps].sum()))
         if len(ks_all) == 0:
             return
-        pid = self.kf_point[ks_all, fs_all]
         order = np.argsort(pid, kind="stable")
         ks_all, fs_all, pid = ks_all[order], fs_all[order], pid[order]
         starts = np.searchsorted(pid, ps, side="left")
@@ -425,10 +477,10 @@ class MapStore:
         if not rows:
             return None
         rows = np.asarray(rows, np.int64)
-        # sort by LOCAL POINT id: the LM engine's prefix-sum segment
-        # reduction (optim/lm._sorted_segsum, the TPU-shaped replacement for
-        # scatter-add) requires point-contiguous observation runs; row order
-        # is irrelevant to every other consumer
+        # sort by LOCAL POINT id for scatter locality only: the LM engine's
+        # segment reduction (optim/lm._segsum) is an order-independent
+        # scatter-add, but point-contiguous runs keep its updates
+        # cache/tile-friendly. No consumer REQUIRES sorted order.
         rows = rows[np.argsort(rows[:, 1], kind="stable")]
         inv_sigma2 = (1.0 / self.scale_factors**2)[
             self.kf_octave[rows[:, 4], rows[:, 3]]

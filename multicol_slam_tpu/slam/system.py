@@ -86,6 +86,15 @@ class FrameMetrics:
     n_inliers: int = 0
     track_ms: float = 0.0
     is_keyframe: bool = False
+    # trajectory anchoring (the reference's SaveMKFTrajectoryLAFIDA writes
+    # keyframe poses at SHUTDOWN, after all BA/loop refinement,
+    # cSystem.cpp:260-290): each frame records its pose RELATIVE to its
+    # reference keyframe at track time; save_trajectory composes it with the
+    # keyframe's FINAL pose, so mapping-worker refinements that land after
+    # the frame was tracked still reach the saved trajectory.
+    ref_kf: int = -1
+    ref_kf_frame: int = -1     # identity check: KF slot ids are recycled
+    rel_pose: Optional[np.ndarray] = None  # cayley6 of M_ref^-1 . M_frame
 
 
 class MultiColSLAM:
@@ -201,9 +210,31 @@ class MultiColSLAM:
         critical path (the reference overlaps extraction with OpenMP worker
         threads, cMultiFrame.cpp:128; on an accelerator the same overlap
         falls out of async dispatch)."""
-        return extract_features_jit(
-            jnp.asarray(images), self.rig.cams, self.settings.extractor
-        )
+        return self._extract(images)
+
+    def _extract(self, images) -> FrameFeatures:
+        """Extraction with the state-dependent bank: while the map is
+        bootstrapping, the init-mode extractor runs with 2x features at FAST
+        threshold 5 (the reference constructs a second mdBRIEFextractor for
+        initialization, cTracking.cpp:152-158) so the 8-point RANSAC and the
+        first triangulation see a dense correspondence field; once WORKING,
+        the runtime bank. track_begin downselects a stale init-bank frame
+        (prefetch raced a state change) back to runtime capacity."""
+        ex = self.settings.extractor
+        if self.state in (NO_IMAGES_YET, NOT_INITIALIZED, INITIALIZING):
+            return extract_features_jit(
+                jnp.asarray(images), self.rig.cams, ex,
+                n_features=2 * ex.n_features, fast_th=5.0,
+            )
+        return extract_features_jit(jnp.asarray(images), self.rig.cams, ex)
+
+    def _level_quotas(self):
+        """Per-level slot budgets of the RUNTIME extractor bank (preserved by
+        the init-bank downselect so coarse levels are never starved)."""
+        from multicol_slam_tpu.ops.fast import level_quota
+
+        ex = self.settings.extractor
+        return level_quota(ex.n_features, ex.n_levels, ex.scale_factor)
 
     def track(self, images=None, feats: Optional[FrameFeatures] = None, timestamp: float = 0.0) -> FrameMetrics:
         """TrackMultiColSLAM (cSystem.cpp:182) + cTracking::Track (:237).
@@ -236,9 +267,15 @@ class MultiColSLAM:
             if feats is None:
                 # upload in the native dtype (uint8 camera frames stay 1 B/px
                 # on the wire); extract_features casts on device
-                feats = extract_features_jit(
-                    jnp.asarray(images), self.rig.cams, self.settings.extractor
-                )
+                feats = self._extract(images)
+            if (self.state in (WORKING, LOST)
+                    and feats.k != self.map_cfg.feats_per_cam):
+                # prefetched with the init bank but the state advanced while
+                # it was in flight: reduce to runtime capacity
+                from multicol_slam_tpu.slam.features import downselect_features
+
+                feats, _ = downselect_features(feats, self.map_cfg.feats_per_cam,
+                                               quotas=self._level_quotas())
             m = FrameMetrics(self.frame_id, timestamp, self.state, self.last_pose.copy())
             h = _FrameHandle(feats=feats, timestamp=timestamp, m=m, t0=t0,
                              epoch=self._epoch)
@@ -269,14 +306,47 @@ class MultiColSLAM:
         m = h.m
         if h.epoch != self._epoch:
             h.done = True  # the map was reset while this frame was in flight
-        if not h.done:
-            self._track_frame_finish(h)
+        # hold the tracker-priority gate through the readback consumption:
+        # the mapping worker must not race its dispatch RPCs against this
+        # frame's result fetch on the tunnel (the gate is edge-style — set
+        # again in the finally — so it bounds, not starves, the worker)
+        if self._frame_idle is not None:
+            self._frame_idle.clear()
+        try:
+            if not h.done:
+                self._track_frame_finish(h)
+        finally:
+            if self._frame_idle is not None:
+                self._frame_idle.set()
         self.last_feats = h.feats
         m.state = self.state
         m.pose = self.last_pose.copy()
+        if self.state == WORKING:
+            self._record_anchor(m)
         m.track_ms = h.begin_ms + (time.perf_counter() - t0) * 1e3
         self.trajectory.append(m)
         return m
+
+    def _record_anchor(self, m: FrameMetrics):
+        """Anchor this frame's pose to its reference keyframe so
+        save_trajectory can compose with the keyframe's FINAL (post-BA,
+        post-loop) pose — the reference's trajectory is written at shutdown
+        from keyframe poses (cSystem.cpp:260-290), so its output always
+        reflects all refinement; recording only the track-time pose would
+        deny the async pipeline's trajectory every refinement that lands
+        after the frame."""
+        s = self.store
+        rk = self.ref_kf_id
+        if rk < 0:
+            return
+        with self.map_lock:
+            if not s.kf_valid[rk]:
+                return
+            ref_pose = s.kf_pose[rk].copy()
+            m.ref_kf_frame = int(s.kf_frame_id[rk])
+        m.ref_kf = int(rk)
+        m.rel_pose = hom_to_cayley_np(
+            np.linalg.inv(cayley_to_hom_np(ref_pose)) @ cayley_to_hom_np(m.pose))
 
     def _yield_to_tracker(self):
         """Called by the mapping worker before each device dispatch: wait
@@ -319,14 +389,43 @@ class MultiColSLAM:
                 points_cam=res.points_cam * scale,
                 Mt2=_mt2_of_scale(self.rig, res.leading_cam, T21[:3, :3], T21[:3, 3], scale),
             )
+        # init-bank downselect: the bootstrap frames carry 2x features at
+        # FAST th 5 (cTracking.cpp:152-158) — the dense field served the
+        # 8-point RANSAC and scale consensus above; the map store and
+        # tracking programs are shaped for the runtime capacity, so reduce
+        # both frames to K slots. Slot priority: triangulated features whose
+        # detector response ALSO clears the runtime FAST threshold (weaker
+        # corners would seed map points the runtime extractor never
+        # re-detects — measured to rot the map with unobservable seeds),
+        # then by response.
+        feat1 = np.asarray(res.feat1, np.int64)
+        feat2 = np.asarray(res.feat2, np.int64)
+        Xw = points_to_world(self.rig, res.leading_cam, res.points_cam)
+        Kc = self.map_cfg.feats_per_cam
+        if self.ref_feats.k != Kc or feats.k != Kc:
+            from multicol_slam_tpu.slam.features import downselect_features
+
+            th_run = float(self.settings.extractor.fast_th)
+            r1 = np.asarray(self.ref_feats.response).reshape(-1)
+            r2 = np.asarray(feats.response).reshape(-1)
+            strong = (r1[feat1] >= th_run) & (r2[feat2] >= th_run)
+            quotas = self._level_quotas()
+            self.ref_feats, remap1 = downselect_features(self.ref_feats, Kc,
+                                                         keep=feat1[strong],
+                                                         quotas=quotas)
+            feats, remap2 = downselect_features(feats, Kc, keep=feat2[strong],
+                                                quotas=quotas)
+            feat1 = remap1[feat1]
+            feat2 = remap2[feat2]
+            sel = (feat1 >= 0) & (feat2 >= 0) & strong
+            feat1, feat2, Xw = feat1[sel], feat2[sel], Xw[sel]
         s = self.store
         k1 = s.add_keyframe(np.zeros(6, np.float32), self.ref_feats, timestamp, self.frame_id - 1)
         pose2 = np.asarray(hom_to_cayley(jnp.asarray(res.Mt2, jnp.float32)))
         k2 = s.add_keyframe(pose2, feats, timestamp, self.frame_id)
-        Xw = points_to_world(self.rig, res.leading_cam, res.points_cam)
         new_ids = []
         for i in range(len(Xw)):
-            f1, f2 = int(res.feat1[i]), int(res.feat2[i])
+            f1, f2 = int(feat1[i]), int(feat2[i])
             p = s.add_point(
                 Xw[i].astype(np.float32),
                 s.kf_desc[k1, f1],
@@ -399,7 +498,7 @@ class MultiColSLAM:
         # loop correction; re-acquire the pose from scratch before tracking
         if self._force_reloc:
             self._force_reloc = False
-            if self._relocalize(feats, m):
+            if self._relocalize(feats, m, forced=True):
                 self.state = WORKING
             else:
                 self.state = LOST
@@ -504,6 +603,12 @@ class MultiColSLAM:
         # faster-than-real-time feed): allow a small backlog instead, with
         # InterruptBA applying pressure beyond it (cLocalMapping.cpp:69-129)
         mapper_idle = self._kf_queue is None or self._kf_queue.qsize() <= 1
+        # no insertions while a loop correction is committing (the reference
+        # blocks insertion while the mapper is stopped for CorrectLoop,
+        # cTracking.cpp:899-901): a KF inserted mid-correction would miss the
+        # correction's snapshot and land half-corrected
+        if self.loop_closer is not None and self.loop_closer.loop_correcting:
+            return
         c1a = self.frames_since_kf >= self.settings.max_frames
         c1b = self.frames_since_kf >= self.settings.min_frames and mapper_idle
         c2 = (n_inl < KF_REF_RATIO * max(self.ref_kf_tracked, 1)) and n_inl > KF_MIN_INLIERS
@@ -543,8 +648,12 @@ class MultiColSLAM:
         if len(seed_pts) == 0:
             ks = s.active_kfs()[-5:]
         else:
-            obs_mask = np.isin(s.kf_point, seed_pts) & (s.kf_point >= 0)
-            votes = obs_mask.sum(axis=1)
+            # native one-pass vote (the per-frame np.isin scan re-hashed the
+            # seed set every frame and scaled with map size on the host)
+            from multicol_slam_tpu import native
+
+            votes = native.vote_counts(s.kf_point, s.kf_valid, seed_pts,
+                                       s.cfg.max_points)
             ks = np.nonzero(votes > 4)[0]
             if len(ks) == 0:
                 ks = np.argsort(-votes)[:3]
@@ -634,7 +743,7 @@ class MultiColSLAM:
                 self._kf_queue.task_done()
 
     # ------------------------------------------------------------------
-    def _relocalize(self, feats, m: FrameMetrics) -> bool:
+    def _relocalize(self, feats, m: FrameMetrics, forced: bool = False) -> bool:
         """Relocalisation (cTracking.cpp:1138-1338): BoW candidate retrieval
         (DetectRelocalisationCandidates) -> descriptor matches to each
         candidate's map points (>=15) -> non-central absolute-pose RANSAC
@@ -655,12 +764,20 @@ class MultiColSLAM:
         from multicol_slam_tpu.utils.geometry import cayley_to_rot
 
         s = self.store
-        # candidate keyframes: BoW query when a vocabulary exists, else the
-        # most recent keyframes (the reference also force-feeds the last KF's
-        # covisible set after loop corrections, cTracking.cpp:1152-1160)
+        # candidate keyframes: after a loop correction (forced=True) the
+        # reference force-feeds the last KF's 5 best covisible keyframes as
+        # the candidate set (cTracking.cpp:1152-1160) — post-correction these
+        # are exactly the freshly corrected poses; the same set is also the
+        # best no-vocabulary fallback. Otherwise: BoW retrieval.
         cands = []
         lc = self.loop_closer
-        if lc is not None and lc.voc is not None and lc.db is not None:
+        no_voc = lc is None or lc.voc is None or lc.db is None
+        if forced or no_voc:
+            lk = self.last_kf_id
+            with self.map_lock:
+                if lk >= 0 and s.kf_valid[lk]:
+                    cands = [int(lk)] + [int(j) for j in s.best_covisible(int(lk), 5)]
+        if not forced and lc is not None and lc.voc is not None and lc.db is not None:
             descs = np.asarray(feats.desc).reshape(-1, feats.desc.shape[-1])
             valid = np.asarray(feats.valid).reshape(-1)
             from multicol_slam_tpu.models.vocab import bow_vector, transform_words
@@ -795,8 +912,8 @@ class MultiColSLAM:
         )
         obs = Observations(
             jnp.asarray(np.pad(prob["obs_kf"], (0, pO - nO))),
-            # padding rows carry the LAST (padding) point slot so the
-            # point-sorted column stays sorted (prefix-sum reduction contract)
+            # padding rows carry the LAST (padding) point slot purely for
+            # scatter locality (optim/lm._segsum is order-independent)
             jnp.asarray(np.pad(prob["obs_pt"], (0, pO - nO), constant_values=pP - 1)),
             jnp.asarray(np.pad(prob["obs_cam"], (0, pO - nO))),
             jnp.asarray(np.pad(prob["obs_uv"], ((0, pO - nO), (0, 0)))),
@@ -827,7 +944,20 @@ class MultiColSLAM:
         if self.loop_closer is not None:
             from multicol_slam_tpu.slam.loop_closing import LoopCloser
 
-            self.loop_closer = LoopCloser(self.store, self.rig, use_masks=self.use_masks)
+            # keep the vocabulary (training data stays representative across
+            # resets; the reference reloads the same file) but rebuild the
+            # inverted file against the fresh, empty map. Lock + yield-gate
+            # wiring must match __init__: after an async-mode auto-reset the
+            # CorrectLoop snapshot/commit phases still need mutual exclusion
+            # against the tracker.
+            voc = self.loop_closer.voc
+            self.loop_closer = LoopCloser(self.store, self.rig, voc=voc,
+                                          use_masks=self.use_masks,
+                                          lock=self.map_lock)
+        if self.async_mapping:
+            self.mapper.yield_gate = self._yield_to_tracker
+            if self.loop_closer is not None:
+                self.loop_closer.yield_gate = self._yield_to_tracker
         self.state = NOT_INITIALIZED
         self.ref_feats = None
         self.last_assign_global = None
@@ -864,7 +994,8 @@ class MultiColSLAM:
     def save_trajectory(self, path: str):
         from multicol_slam_tpu.io.trajectory import save_lafida_trajectory
 
-        save_lafida_trajectory(path, self.trajectory)
+        with self.map_lock:
+            save_lafida_trajectory(path, self.trajectory, store=self.store)
 
     def save_metrics(self, path: str):
         """Structured per-frame metrics JSONL (SURVEY.md §5 observability:
@@ -899,6 +1030,11 @@ class MultiColSLAM:
                 n_points=int(self.store.pt_valid.sum()),
                 n_loops_closed=(self.loop_closer.n_loops_closed
                                 if self.loop_closer else 0),
+                # real-time contract: the longest CorrectLoop lock-held phase
+                # (every device solve runs lock-free; only numpy commits hold it)
+                loop_locked_max_ms=round(max(
+                    self.loop_closer.locked_phase_ms, default=0.0), 3)
+                if self.loop_closer else 0.0,
             )) + "\n")
 
     def save_checkpoint(self, path: str):

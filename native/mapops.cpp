@@ -119,4 +119,55 @@ void redundancy_counts_fast(const int32_t* kf_point, const int32_t* kf_octave,
   }
 }
 
+// votes[j] = number of feature slots of keyframe j whose point id is flagged
+// in seed_mask (the tracker's per-frame local-map vote,
+// cTracking.cpp:961-1130 UpdateReferenceKeyFrames). One linear pass over the
+// table: the numpy np.isin equivalent re-hashes the seed set per call and
+// dominated host time on large maps.
+void vote_counts(const int32_t* kf_point, const uint8_t* kf_valid,
+                 int64_t K, int64_t F,
+                 const uint8_t* seed_mask, int64_t P,
+                 int32_t* votes /* [K] out */) {
+  for (int64_t j = 0; j < K; ++j) {
+    votes[j] = 0;
+    if (!kf_valid[j]) continue;
+    const int32_t* row = kf_point + j * F;
+    int32_t c = 0;
+    for (int64_t f = 0; f < F; ++f) {
+      int32_t p = row[f];
+      if (p >= 0 && p < P && seed_mask[p]) ++c;
+    }
+    votes[j] = c;
+  }
+}
+
+// Every (keyframe, feature) slot whose point id is flagged in mask: the
+// batched observation gather behind update_point_stats_many / orphan
+// re-homing. Writes up to max_out hits into (out_k, out_f, out_p); returns
+// the TOTAL hit count (callers size max_out from the incremental pt_nobs
+// counts and re-invoke with a larger buffer if it ever undershoots).
+int64_t find_slots(const int32_t* kf_point, const uint8_t* kf_valid,
+                   int64_t K, int64_t F,
+                   const uint8_t* mask, int64_t P,
+                   int32_t* out_k, int32_t* out_f, int32_t* out_p,
+                   int64_t max_out) {
+  int64_t n = 0;
+  for (int64_t j = 0; j < K; ++j) {
+    if (!kf_valid[j]) continue;
+    const int32_t* row = kf_point + j * F;
+    for (int64_t f = 0; f < F; ++f) {
+      int32_t p = row[f];
+      if (p >= 0 && p < P && mask[p]) {
+        if (n < max_out) {
+          out_k[n] = (int32_t)j;
+          out_f[n] = (int32_t)f;
+          out_p[n] = p;
+        }
+        ++n;
+      }
+    }
+  }
+  return n;
+}
+
 }  // extern "C"

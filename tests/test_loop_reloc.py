@@ -160,6 +160,15 @@ def test_loop_closing_corrects_drift():
         f"loop closing did not improve ATE enough: "
         f"with={ate[True]:.4f} without={ate[False]:.4f}"
     )
+    # real-time contract regression gate: every lock-HELD phase of
+    # CorrectLoop is a small numpy commit (the essential-graph solve and the
+    # SearchAndFuse dispatches run lock-free) — a solve slipping back under
+    # the lock shows up here as a multi-second phase
+    locked = lc.locked_phase_ms
+    assert locked, "CorrectLoop ran but recorded no lock phases"
+    assert max(locked) < 250.0, (
+        f"CorrectLoop held the map lock {max(locked):.0f} ms — "
+        "did a device solve move back under the lock?")
 
 
 def test_async_mapping_pipeline():

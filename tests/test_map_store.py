@@ -56,3 +56,45 @@ def test_store_grows_past_capacity():
     assert not s.pt_valid[p0]  # single-obs point culled with its KF
     k_new = s.add_keyframe(np.zeros(6, np.float32), _feats(cfg, 999), 999.0, 999)
     assert k_new == k0  # recycled slot
+
+
+def test_spanning_tree_chain_survives_culling():
+    """Covisibility spanning tree (cMultiKeyFrame.h:52-72): parents are
+    max-covisibility earlier keyframes, and after heavy culling every
+    remaining parent edge still links keyframes that CO-OBSERVE points —
+    the property the essential graph's chain edges rely on (a plain
+    time-order chain links never-co-observed KFs once the in-between
+    keyframes are culled, which the reference never would)."""
+    cfg = MapConfig(max_keyframes=64, max_points=512, n_cams=1, feats_per_cam=16,
+                    n_levels=1)
+    s = MapStore(cfg)
+    rng = np.random.default_rng(3)
+    # 20 keyframes along a corridor; each observes a sliding window of points
+    # so only NEARBY keyframes co-observe
+    n_kf, pts_per = 20, 8
+    points = []
+    for i in range(n_kf * 4):
+        points.append(s.add_point(rng.normal(size=3).astype(np.float32),
+                                  np.zeros(32, np.uint8), np.full(32, 255, np.uint8),
+                                  first_kf=0, normal=np.zeros(3, np.float32),
+                                  min_dist=0.1, max_dist=10.0))
+    for i in range(n_kf):
+        k = s.add_keyframe(np.zeros(6, np.float32), _feats(cfg, i), float(i), i)
+        for f in range(pts_per):
+            s.add_observation(k, f, points[i * 3 + f])  # stride-3 window overlap
+        s.assign_parent(k)
+    # parents exist and predate their children
+    for k in s.active_kfs()[1:]:
+        p = int(s.kf_parent[k])
+        assert p != BAD_ID
+        assert s.kf_frame_id[p] < s.kf_frame_id[k]
+    # cull every second keyframe (heavy): reparenting must re-home children
+    for k in range(1, n_kf, 2):
+        s.erase_keyframe(k)
+    for k in s.active_kfs():
+        p = int(s.kf_parent[k])
+        if p == BAD_ID:
+            continue
+        assert s.kf_valid[p], f"kf {k} parented to culled kf {p}"
+        shared = s.covisibility(int(k)).get(p, 0)
+        assert shared > 0, f"chain edge {k}->{p} links never-co-observed KFs"
