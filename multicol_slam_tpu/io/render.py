@@ -18,7 +18,19 @@ from multicol_slam_tpu.io.synthetic import SyntheticWorld
 from multicol_slam_tpu.models.camera import cam_world_to_img, in_mirror_mask
 from multicol_slam_tpu.utils.geometry import cayley_to_hom
 
-PATCH = 9  # stamped texture patch size (odd)
+PATCH = 29  # stamped texture patch size (odd)
+
+
+def _patch_window() -> np.ndarray:
+    """Radial cosine falloff: patch edges fade into the background. A
+    hard-edged stamp surrounds every landmark with identical dark-to-texture
+    boundary corners — FAST fires on them at every pyramid level and their
+    near-identical descriptors can never survive ratio/mutual matching,
+    which starved triangulation of usable free features. Soft edges keep
+    the distinctive interior texture corners only."""
+    r = np.hypot(*np.meshgrid(*[np.arange(PATCH) - PATCH // 2] * 2, indexing="ij"))
+    w = 0.5 * (1.0 + np.cos(np.clip(r / (PATCH / 2.0), 0, 1) * np.pi))
+    return w
 
 
 def render_frame(world: SyntheticWorld, t: int, rng_seed: int = 1234) -> np.ndarray:
@@ -27,8 +39,47 @@ def render_frame(world: SyntheticWorld, t: int, rng_seed: int = 1234) -> np.ndar
     C = rig.n_cams
     W, H = (int(x) for x in np.asarray(rig.cams.wh[0]))
     rng = np.random.default_rng(rng_seed)
-    # per-landmark texture patches (deterministic across frames)
-    textures = rng.integers(60, 255, size=(len(world.points), PATCH, PATCH)).astype(np.uint8)
+    # Per-landmark texture patches (deterministic across frames): ONE
+    # dominant bright blob at the landmark center over low-contrast windowed
+    # noise. The blob is the only structure clearing the FAST threshold, so
+    # the detector finds exactly the landmark (repeatable by construction);
+    # the surrounding noise feeds descriptor entropy without spawning
+    # competing corners. (Full-noise patches were measured to make top-K
+    # selection a per-frame lottery — every pixel a near-equal corner — so
+    # two keyframes shared almost no re-detected free features and
+    # triangulation starved.) Blob brightness varies per landmark so the
+    # response ranking has stable structure.
+    win = _patch_window()
+    n_pts = len(world.points)
+    # noise amplitude: strong enough to survive the descriptor pipeline's
+    # 5-px pre-blur (so descriptors stay DISTINCT per landmark — at +-15 the
+    # blob's common radial gradient dominated every descriptor and 90% of
+    # features "matched" everything), weak enough that noise corners rank
+    # far below the blobs in the detector's response ordering.
+    noise = rng.integers(-12, 13, size=(n_pts, PATCH, PATCH)).astype(np.float64)
+    yy, xx = np.meshgrid(*[np.arange(PATCH) - PATCH // 2] * 2, indexing="ij")
+    r2 = (yy * yy + xx * xx)[None]
+    blob_amp = rng.uniform(100.0, 210.0, size=(n_pts, 1, 1))
+    blob = blob_amp * np.exp(-r2 / (2.0 * 1.8 ** 2))
+    # a CONSTELLATION of satellite blobs at random per-landmark offsets:
+    # their arrangement is the landmark's descriptor signature (structural
+    # entropy — iid pixel noise either washes out under the descriptor
+    # pre-blur or, at high amplitude, randomizes the intensity-centroid
+    # moments so IC angles jitter and the rotation-consistency histogram
+    # rejects ~2/3 of genuine matches), and their combined centroid offset
+    # makes the IC angle stable and repeatable.
+    N_SAT = 4
+    sat = np.zeros_like(blob)
+    for _ in range(N_SAT):
+        theta = rng.uniform(0, 2 * np.pi, size=n_pts)
+        sat_r = rng.uniform(3.5, 9.0, size=n_pts)
+        sy, sx = sat_r * np.sin(theta), sat_r * np.cos(theta)
+        sat_amp = blob_amp[:, 0, 0] * rng.uniform(0.3, 0.7, size=n_pts)
+        sat += sat_amp[:, None, None] * np.exp(
+            -((yy[None] - sy[:, None, None]) ** 2 + (xx[None] - sx[:, None, None]) ** 2)
+            / (2.0 * 1.7 ** 2))
+    raw = 60.0 + noise + blob + sat
+    textures = np.clip(20 + (raw - 20) * win[None], 0, 255).astype(np.uint8)
     Mt = np.asarray(cayley_to_hom(jnp.asarray(world.poses[t], jnp.float32)))
     out = np.zeros((C, H, W), np.uint8)
     out[:] = 20  # dark background
@@ -47,6 +98,16 @@ def render_frame(world: SyntheticWorld, t: int, rng_seed: int = 1234) -> np.ndar
             u, v = int(round(uv[i, 0])), int(round(uv[i, 1]))
             if half <= u < W - half and half <= v < H - half:
                 out[c, v - half : v + half + 1, u - half : u + half + 1] = textures[i]
+    if world.noise_px > 0:
+        # per-frame sensor noise (seeded by t: deterministic dataset, fresh
+        # noise each frame): jitters detector localization by a fraction of
+        # a pixel, the odometric random-walk source that makes long-run
+        # drift realistic instead of machine-precision clean
+        nrng = np.random.default_rng(rng_seed + 7919 * (t + 1))
+        out = np.clip(
+            out.astype(np.int16)
+            + nrng.normal(0.0, 12.0 * world.noise_px, out.shape).astype(np.int16),
+            0, 255).astype(np.uint8)
     return out
 
 

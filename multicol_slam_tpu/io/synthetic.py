@@ -122,6 +122,23 @@ def make_world(
         y = side * rng.uniform(1.0, 2.5, n_points)
         z = rng.uniform(-1.0, 2.0, n_points)
         points = np.stack([x, y, z], -1).astype(np.float32)
+    elif landmarks == "pathroom":
+        # 'path' drift profile (landmarks hugging the circular path, so with
+        # a short max_vis_dist places leave view and reappear) but with a
+        # ceiling strip above the path: an arbitrarily-oriented helmet rig
+        # (the real Lafida cam2 looks along body +z) sees texture everywhere
+        n_wall = (3 * n_points) // 4
+        rr = radius + rng.uniform(1.0, 3.0, n_wall)
+        zw = rng.uniform(-1.0, 2.0, n_wall)
+        wall = np.stack(
+            [-radius + rr * np.cos(ang[:n_wall]), rr * np.sin(ang[:n_wall]), zw], -1
+        )
+        n_ceil = n_points - n_wall
+        rc = radius + rng.uniform(-1.5, 1.5, n_ceil)
+        ac = ang[n_wall:]
+        zc = rng.uniform(2.2, 3.2, n_ceil)
+        ceil = np.stack([-radius + rc * np.cos(ac), rc * np.sin(ac), zc], -1)
+        points = np.concatenate([wall, ceil]).astype(np.float32)
     elif landmarks == "path":
         # landmarks hugging the circular PATH (center (-radius, 0)): combined
         # with a short max_vis_dist, each frame sees only a local arc — places

@@ -122,6 +122,10 @@ class LoopCloser:
         # dispatches run lock-free, so these should all be small host-numpy
         # commits; bench/tests gate on the max.
         self.locked_phase_ms: List[float] = []
+        # wall-clock [start, end] of each CorrectLoop (perf_counter): lets a
+        # paced benchmark attribute tracked-frame latency to the correction
+        # window specifically
+        self.correct_spans: List[Tuple[float, float]] = []
         self._bootstrap_descs: List[np.ndarray] = []
         # monotonic processed-keyframe counter for the <10-KFs-since-last-loop
         # gate: KF slot ids are recycled by the free list so they are NOT
@@ -479,6 +483,7 @@ class LoopCloser:
 
         s = self.store
         self.loop_correcting = True
+        _t_start = _time.perf_counter()
         try:
             with timed_lock():
                 corrected, snapshot, remapped, remap_ref = self._propagate_correction(
@@ -514,6 +519,7 @@ class LoopCloser:
                 s.loop_edges.append((k, cand))
         finally:
             self.loop_correcting = False
+            self.correct_spans.append((_t_start, _time.perf_counter()))
 
     def _propagate_correction(self, k: int, cand: int, v7_kc: np.ndarray,
                               loop_match: Dict[int, int]):
