@@ -43,6 +43,10 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.covisibility_counts.argtypes = [
                 _i32p, _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _i32p,
             ]
+            lib.covisibility_counts2.argtypes = [
+                _i32p, _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, _i32p,
+            ]
             lib.count_observations.argtypes = [
                 _i32p, _u8p, ctypes.c_int64, ctypes.c_int64, _i32p, ctypes.c_int64, _i32p,
             ]
@@ -68,17 +72,27 @@ def available() -> bool:
     return _load() is not None
 
 
-def covisibility_counts(kf_point: np.ndarray, kf_valid: np.ndarray, k: int) -> np.ndarray:
-    """counts[j] = shared map points between KF k and KF j."""
+def covisibility_counts(kf_point: np.ndarray, kf_valid: np.ndarray, k: int,
+                        n_points: int = 0) -> np.ndarray:
+    """counts[j] = shared map points between KF k and KF j. Pass `n_points`
+    (the point-id capacity) to use the dense-bitmap scan — ~10x the
+    hash-probe variant on large maps."""
     K, F = kf_point.shape
     lib = _load()
     if lib is not None:
         out = np.zeros(K, np.int32)
-        lib.covisibility_counts(
-            np.ascontiguousarray(kf_point, np.int32),
-            np.ascontiguousarray(kf_valid, np.uint8),
-            K, F, k, out,
-        )
+        if n_points > 0:
+            lib.covisibility_counts2(
+                np.ascontiguousarray(kf_point, np.int32),
+                np.ascontiguousarray(kf_valid, np.uint8),
+                K, F, k, n_points, out,
+            )
+        else:
+            lib.covisibility_counts(
+                np.ascontiguousarray(kf_point, np.int32),
+                np.ascontiguousarray(kf_valid, np.uint8),
+                K, F, k, out,
+            )
         return out
     pts = kf_point[k]
     pts = np.unique(pts[pts >= 0])

@@ -328,48 +328,64 @@ class LocalMapper:
             desc1_np = s.kf_desc[k].reshape(C, K, -1).copy()
             ang1_np = s.kf_angle[k].reshape(C, K).copy()
             dmask1_np = s.kf_dmask[k].reshape(C, K, -1).copy() if self.use_masks else None
-        # ---- phase 2: triangulate ALL pairs in one launch (no lock) -------
+        # ---- phase 2: triangulate all pairs (no lock) ---------------------
+        # Program-size discipline: in the async pipeline the tracker's fused
+        # program queues BEHIND whatever mapping program is running — the
+        # depth-2 pipeline absorbs ~2 camera periods (80 ms) of queueing, so
+        # every worker program must stay well under that. One launch per 2
+        # neighbors (one compiled shape) instead of the 5-neighbor
+        # mega-launch; dispatches first, readbacks after, so the device
+        # pipeline stays full while the tracker can slot in between programs.
+        # Sequential mode keeps the single launch (fewer round trips wins
+        # when nothing shares the chip).
         B = s.cfg.desc_bytes
-        Jp = n_neighbors  # fixed batch: one compiled shape
-        poses2 = np.zeros((Jp, 6), np.float32)
-        uv2s = np.zeros((Jp, C, K, 2), np.float32)
-        rays2s = np.zeros((Jp, C, K, 3), np.float32)
-        desc2s = np.zeros((Jp, C, K, B), np.uint8)
-        free2s = np.zeros((Jp, C, K), bool)
-        ang2s = np.zeros((Jp, C, K), np.float32)
-        dmask2s = np.full((Jp, C, K, B), 255, np.uint8) if self.use_masks else None
-        for i, (j, pose2, uv2, rays2, desc2, free2, ang2, dmask2) in enumerate(pairs):
-            poses2[i] = pose2
-            uv2s[i] = uv2
-            rays2s[i] = rays2
-            desc2s[i] = desc2
-            free2s[i] = free2
-            ang2s[i] = ang2
-            if self.use_masks:
-                dmask2s[i] = dmask2
-        self._yield()
-        out = triangulate_pairs(
-            self.mc6, jnp.asarray(pose1_np), jnp.asarray(poses2),
-            jnp.asarray(uv1_np), jnp.asarray(rays1_np), jnp.asarray(desc1_np),
-            jnp.asarray(free1_np),
-            jnp.asarray(uv2s), jnp.asarray(rays2s), jnp.asarray(desc2s),
-            jnp.asarray(free2s), self.intr,
-            th_desc=th,
-            ang1=jnp.asarray(ang1_np), ang2s=jnp.asarray(ang2s),
-            dmask1=jnp.asarray(dmask1_np) if self.use_masks else None,
-            dmask2s=jnp.asarray(dmask2s) if self.use_masks else None,
-            check_rotation=True,
-            use_masks=self.use_masks,
-        )
-        out.packed.copy_to_host_async()  # ride the compute stream
-        packed = np.asarray(out.packed)            # ONE readback: [Jp, CK, 5]
-        Xs = packed[..., :3]
-        f2s = packed[..., 3].astype(np.int64)
-        oks = packed[..., 4] > 0.5
+        chunk = 2 if self.yield_gate is not None else n_neighbors
+
+        def launch(sub):
+            Jp = chunk if self.yield_gate is not None else n_neighbors
+            poses2 = np.zeros((Jp, 6), np.float32)
+            uv2s = np.zeros((Jp, C, K, 2), np.float32)
+            rays2s = np.zeros((Jp, C, K, 3), np.float32)
+            desc2s = np.zeros((Jp, C, K, B), np.uint8)
+            free2s = np.zeros((Jp, C, K), bool)
+            ang2s = np.zeros((Jp, C, K), np.float32)
+            dmask2s = np.full((Jp, C, K, B), 255, np.uint8) if self.use_masks else None
+            for i, (j, pose2, uv2, rays2, desc2, free2, ang2, dmask2) in enumerate(sub):
+                poses2[i] = pose2
+                uv2s[i] = uv2
+                rays2s[i] = rays2
+                desc2s[i] = desc2
+                free2s[i] = free2
+                ang2s[i] = ang2
+                if self.use_masks:
+                    dmask2s[i] = dmask2
+            self._yield()
+            out = triangulate_pairs(
+                self.mc6, jnp.asarray(pose1_np), jnp.asarray(poses2),
+                jnp.asarray(uv1_np), jnp.asarray(rays1_np), jnp.asarray(desc1_np),
+                jnp.asarray(free1_np),
+                jnp.asarray(uv2s), jnp.asarray(rays2s), jnp.asarray(desc2s),
+                jnp.asarray(free2s), self.intr,
+                th_desc=th,
+                ang1=jnp.asarray(ang1_np), ang2s=jnp.asarray(ang2s),
+                dmask1=jnp.asarray(dmask1_np) if self.use_masks else None,
+                dmask2s=jnp.asarray(dmask2s) if self.use_masks else None,
+                check_rotation=True,
+                use_masks=self.use_masks,
+            )
+            out.packed.copy_to_host_async()  # ride the compute stream
+            return out.packed
+
+        handles = [(pairs[i0:i0 + chunk], launch(pairs[i0:i0 + chunk]))
+                   for i0 in range(0, len(pairs), chunk)]
         f1_const = np.arange(C * K)
-        results = [
-            (pairs[i][0], oks[i], Xs[i], f1_const, f2s[i]) for i in range(len(pairs))
-        ]
+        results = []
+        for sub, h in handles:
+            packed = np.asarray(h)                 # [Jp, CK, 5]
+            for i in range(len(sub)):
+                results.append((sub[i][0], packed[i, :, 4] > 0.5,
+                                packed[i, :, :3],
+                                f1_const, packed[i, :, 3].astype(np.int64)))
         # ---- phase 3: commit (lock) ---------------------------------------
         created = 0
         new_ids: List[int] = []
@@ -466,65 +482,73 @@ class LocalMapper:
                     s.kf_dmask[j].reshape(C, K, -1).copy(),
                     s.kf_feat_valid[j].reshape(C, K).copy(),
                 ))
-        # ---- phase 2: match ALL targets in one launch (no lock) -----------
+        # ---- phase 2: match targets in bounded launches (no lock) ---------
         # Each target keyframe's body pose folds into effective per-camera
-        # extrinsics Mc' = Mt_j . Mc_c with an identity body pose, so J
-        # keyframes x C cameras become one (J*C)-camera rig and the whole
-        # SearchInNeighbors fuse pass is a single kernel launch (grid = J*C x
-        # tiles) instead of J dispatches racing tracking for the device.
+        # extrinsics Mc' = Mt_j . Mc_c with an identity body pose, so target
+        # keyframes x C cameras become one fused multi-camera rig per launch.
+        # Async program-size discipline (see create_new_points): 4 targets
+        # per launch — a single (16+ KF x C)-camera program ran long enough
+        # to stall the tracker's queued frame past the pipeline slack.
+        # Dispatch every group first, read back after.
         J = len(tsnap)
-        Jp = _bucket(J, 4)
+        group = 6 if self.yield_gate is not None else _bucket(J, 4)
         B = s.cfg.desc_bytes
         Mc_np = np.asarray(self.rig.Mc, np.float64)                   # [C,4,4]
-        mc_eff = np.zeros((Jp * C, 6), np.float32)
-        uv_a = np.zeros((Jp * C, K, 2), np.float32)
-        oct_a = np.zeros((Jp * C, K), np.int32)
-        ang_a = np.zeros((Jp * C, K), np.float32)
-        rays_a = np.zeros((Jp * C, K, 3), np.float32)
-        desc_a = np.zeros((Jp * C, K, B), np.uint8)
-        dmask_a = np.full((Jp * C, K, B), 255, np.uint8)
-        valid_a = np.zeros((Jp * C, K), bool)
         from multicol_slam_tpu.slam.map_store import cayley_to_hom_np, hom_to_cayley_np
 
-        for i, (j, pose, uv, octv, ang, rays, desc, dmask, fvalid) in enumerate(tsnap):
-            Mt = cayley_to_hom_np(pose)
-            mc_eff[i * C:(i + 1) * C] = hom_to_cayley_np(Mt[None] @ Mc_np)
-            uv_a[i * C:(i + 1) * C] = uv
-            oct_a[i * C:(i + 1) * C] = octv
-            ang_a[i * C:(i + 1) * C] = ang
-            rays_a[i * C:(i + 1) * C] = rays
-            desc_a[i * C:(i + 1) * C] = desc
-            dmask_a[i * C:(i + 1) * C] = dmask
-            valid_a[i * C:(i + 1) * C] = fvalid
-        cams_t = jax.tree_util.tree_map(
-            lambda a: jnp.tile(a, (Jp,) + (1,) * (a.ndim - 1)), self.rig.cams
-        )
-        feats_all = FrameFeatures(
-            uv=jnp.asarray(uv_a),
-            response=jnp.zeros((Jp * C, K)),
-            octave=jnp.asarray(oct_a),
-            angle=jnp.asarray(ang_a),
-            rays=jnp.asarray(rays_a),
-            desc=jnp.asarray(desc_a),
-            dmask=jnp.asarray(dmask_a),
-            valid=jnp.asarray(valid_a),
-        )
-        self._yield()
-        _, _, _, packed = fuse_match(
-            jnp.asarray(mc_eff), jnp.tile(self.intr, (Jp, 1)), cams_t,
-            feats_all, jnp.zeros(6, jnp.float32), lp, radius,
-            use_masks=self.use_masks,
-        )
-        packed.copy_to_host_async()
-        packed = np.asarray(packed)                 # ONE readback: [3, Jp*C*K]
-        assign_all = packed[0].astype(np.int64).reshape(Jp * C, K)
-        keep_all = (packed[2] > 0.5).reshape(Jp * C, K)
-        matches = [
-            (tsnap[i][0],
-             assign_all[i * C:(i + 1) * C].reshape(-1),
-             keep_all[i * C:(i + 1) * C].reshape(-1))
-            for i in range(J)
-        ]
+        def launch(sub):
+            Jp = group
+            mc_eff = np.zeros((Jp * C, 6), np.float32)
+            uv_a = np.zeros((Jp * C, K, 2), np.float32)
+            oct_a = np.zeros((Jp * C, K), np.int32)
+            ang_a = np.zeros((Jp * C, K), np.float32)
+            rays_a = np.zeros((Jp * C, K, 3), np.float32)
+            desc_a = np.zeros((Jp * C, K, B), np.uint8)
+            dmask_a = np.full((Jp * C, K, B), 255, np.uint8)
+            valid_a = np.zeros((Jp * C, K), bool)
+            for i, (j, pose, uv, octv, ang, rays, desc, dmask, fvalid) in enumerate(sub):
+                Mt = cayley_to_hom_np(pose)
+                mc_eff[i * C:(i + 1) * C] = hom_to_cayley_np(Mt[None] @ Mc_np)
+                uv_a[i * C:(i + 1) * C] = uv
+                oct_a[i * C:(i + 1) * C] = octv
+                ang_a[i * C:(i + 1) * C] = ang
+                rays_a[i * C:(i + 1) * C] = rays
+                desc_a[i * C:(i + 1) * C] = desc
+                dmask_a[i * C:(i + 1) * C] = dmask
+                valid_a[i * C:(i + 1) * C] = fvalid
+            cams_t = jax.tree_util.tree_map(
+                lambda a: jnp.tile(a, (Jp,) + (1,) * (a.ndim - 1)), self.rig.cams
+            )
+            feats_all = FrameFeatures(
+                uv=jnp.asarray(uv_a),
+                response=jnp.zeros((Jp * C, K)),
+                octave=jnp.asarray(oct_a),
+                angle=jnp.asarray(ang_a),
+                rays=jnp.asarray(rays_a),
+                desc=jnp.asarray(desc_a),
+                dmask=jnp.asarray(dmask_a),
+                valid=jnp.asarray(valid_a),
+            )
+            self._yield()
+            _, _, _, packed = fuse_match(
+                jnp.asarray(mc_eff), jnp.tile(self.intr, (Jp, 1)), cams_t,
+                feats_all, jnp.zeros(6, jnp.float32), lp, radius,
+                use_masks=self.use_masks,
+            )
+            packed.copy_to_host_async()
+            return packed
+
+        handles = [(tsnap[g0:g0 + group], launch(tsnap[g0:g0 + group]))
+                   for g0 in range(0, J, group)]
+        matches = []
+        for sub, h in handles:
+            packed = np.asarray(h)                 # [3, Jp*C*K]
+            assign_all = packed[0].astype(np.int64).reshape(group * C, K)
+            keep_all = (packed[2] > 0.5).reshape(group * C, K)
+            for i in range(len(sub)):
+                matches.append((sub[i][0],
+                                assign_all[i * C:(i + 1) * C].reshape(-1),
+                                keep_all[i * C:(i + 1) * C].reshape(-1)))
         # ---- phase 3: commit (lock) ---------------------------------------
         fused = 0
         touched: List[int] = []
@@ -626,14 +650,18 @@ class LocalMapper:
         )
         from multicol_slam_tpu.optim.ba import bundle_adjust_interruptible
 
-        # chunk of 5 LM iterations per device program: each chunk's compute
-        # is ms-scale, but every inter-chunk control readback is a full RPC
-        # round trip on a tunneled device — 2 chunks for the 10-iteration
-        # solve keeps InterruptBA preemption (checked between chunks) while
-        # cutting the solve's round trips 5x
+        # Chunk sizing by pipeline mode: SEQUENTIAL favors few round trips
+        # (5 LM iterations per device program — each inter-chunk control
+        # readback is a full RPC on a tunneled device); ASYNC favors short
+        # programs (1 iteration, ~60 ms at the largest local bucket) because
+        # the tracker's fused program queues behind whatever chunk is running
+        # and the depth-2 pipeline only absorbs ~80 ms of queueing — a
+        # 5-iteration chunk was measured to stall tracked frames 400-800 ms.
+        chunk = 1 if self.yield_gate is not None else 5
+        cg = 16 if self.yield_gate is not None else 24
         out, _ = bundle_adjust_interruptible(params, obs, free, max_iters=max_iters,
-                                             cg_iters=24, interrupt=interrupt,
-                                             pre_step=self._yield, chunk_iters=5)
+                                             cg_iters=cg, interrupt=interrupt,
+                                             pre_step=self._yield, chunk_iters=chunk)
         return out, obs, nK, nP, nO
 
     def _writeback_ba(self, prob, out, obs, nK, nP, nO):

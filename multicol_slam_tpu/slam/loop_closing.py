@@ -743,28 +743,49 @@ class LoopCloser:
         """Lock-free solve phase: the batched sim3 log/exp launches, the
         essential-graph GN (the dominant cost — a 15-iteration device program
         over all keyframes), and the full point remap computed on the
-        problem's snapshot arrays. No store access."""
+        problem's snapshot arrays. No store access.
+
+        Vertex/edge counts are PADDED to coarse buckets: every loop closure
+        changes (K, E), and an exact-shape jit would compile a fresh
+        multi-MB XLA program per closure — a long multi-loop run was
+        measured to exhaust the process's memory mappings this way. Padding
+        vertices are fixed identities; padding edges are valid=False."""
+        from multicol_slam_tpu.slam.local_mapping import _bucket
+
         kfs = prob["kfs"]
+        K = len(kfs)
+        E = len(prob["ei"])
+        pK = _bucket(K, 16)
+        pE = _bucket(E, 64)
+        eyeR = np.broadcast_to(np.eye(3, dtype=np.float32), (pK - K, 3, 3))
         v = np.asarray(jax.vmap(sim3_log)(
-            jnp.asarray(prob["vR"]), jnp.asarray(prob["vt"]), jnp.asarray(prob["vs"])))
+            jnp.asarray(np.concatenate([prob["vR"], eyeR])),
+            jnp.asarray(np.pad(prob["vt"], ((0, pK - K), (0, 0)))),
+            jnp.asarray(np.pad(prob["vs"], (0, pK - K), constant_values=1.0))))
+        eyeRm = np.broadcast_to(np.eye(3, dtype=np.float32), (pE - E, 3, 3))
         meas = np.asarray(jax.vmap(sim3_log)(
-            jnp.asarray(prob["mR"]), jnp.asarray(prob["mt"]), jnp.asarray(prob["ms"])))
+            jnp.asarray(np.concatenate([prob["mR"], eyeRm])),
+            jnp.asarray(np.pad(prob["mt"], ((0, pE - E), (0, 0)))),
+            jnp.asarray(np.pad(prob["ms"], (0, pE - E), constant_values=1.0))))
         edges = Sim3Edges(
-            jnp.asarray(prob["ei"]), jnp.asarray(prob["ej"]),
-            jnp.asarray(meas, jnp.float32), jnp.asarray(prob["wts"]),
-            jnp.ones(len(prob["ei"]), bool),
+            jnp.asarray(np.pad(prob["ei"], (0, pE - E))),
+            jnp.asarray(np.pad(prob["ej"], (0, pE - E))),
+            jnp.asarray(meas, jnp.float32),
+            jnp.asarray(np.pad(prob["wts"], (0, pE - E))),
+            jnp.asarray(np.arange(pE) < E),
         )
+        fixed = np.pad(prob["fixed"], (0, pK - K), constant_values=True)
         v_out = np.asarray(
             optimize_essential_graph(jnp.asarray(v), edges,
-                                     jnp.asarray(prob["fixed"]), n_iters=15)
+                                     jnp.asarray(fixed), n_iters=15)
         )
-        # recover SE3 poses (two batched sim3_exp launches instead of 2K tiny
-        # ones); v is the "old" pose set for the point remap
-        Ro_all, to_all, so_all = (np.asarray(a, np.float64) for a in
+        # recover SE3 poses (two batched sim3_exp launches on the PADDED
+        # arrays — same bucket, no per-K recompiles); v is the "old" pose
+        # set for the point remap
+        Ro_all, to_all, so_all = (np.asarray(a, np.float64)[:K] for a in
                                   jax.vmap(sim3_exp)(jnp.asarray(v)))
-        Rn_all, tn_all, sn_all = (np.asarray(a, np.float64) for a in
+        Rn_all, tn_all, sn_all = (np.asarray(a, np.float64)[:K] for a in
                                   jax.vmap(sim3_exp)(jnp.asarray(v_out)))
-        K = len(kfs)
         new_pose6 = np.zeros((K, 6), np.float32)
         old_bw: Dict[int, np.ndarray] = {}
         new_sim3: Dict[int, Tuple[np.ndarray, np.ndarray, float]] = {}

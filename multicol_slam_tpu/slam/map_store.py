@@ -152,6 +152,15 @@ class MapStore:
         # observers notified when a keyframe is culled (e.g. the loop
         # closer's BoW inverted file — mpKeyFrameDB->erase in the reference)
         self.on_kf_erased: List = []
+        # covisibility cache, invalidated on keyframe insert/erase: the
+        # reference MAINTAINS each KF's connection list (UpdateConnections
+        # recomputes it only when the KF changes; neighbors read stale
+        # weights until their own update) — recomputing the O(K*F) scan on
+        # every query made the tracker's per-frame local-map assembly grow
+        # linearly with map size (measured 3.5 -> 10+ ms by 140 KFs).
+        # Observation-level mutations leave entries stale for at most one
+        # keyframe interval, the reference's own staleness window.
+        self._covis_cache: Dict[int, np.ndarray] = {}
 
     # ------------------------------------------------------------ capacity
     def _grow_axis0(self, names, old_n: int, new_n: int, fills):
@@ -215,6 +224,7 @@ class MapStore:
         self.kf_feat_valid[k] = np.asarray(feats.valid).reshape(F)
         self.kf_point[k] = BAD_ID
         self.kf_parent[k] = BAD_ID
+        self._covis_cache.clear()
         return k
 
     def assign_parent(self, k: int):
@@ -238,6 +248,7 @@ class MapStore:
         the reference's candidate loop: candidates start as the erased KF's
         parent; each child attaches to its max-covisibility candidate and
         then becomes a candidate itself."""
+        self._covis_cache.clear()
         children = [int(c) for c in np.nonzero((self.kf_parent == k) & self.kf_valid)[0]]
         parent_of_k = int(self.kf_parent[k])
         if children:
@@ -381,10 +392,15 @@ class MapStore:
         """KFs sharing map points with k and their shared-point counts
         (UpdateConnections, cMultiKeyFrame.cpp:412-500, threshold applied by
         callers at >=30 / >=100). Scans run in the native mapops library
-        when available (multicol_slam_tpu/native.py)."""
+        when available (multicol_slam_tpu/native.py); results are cached
+        until the keyframe set changes (see _covis_cache)."""
         from multicol_slam_tpu import native
 
-        counts = native.covisibility_counts(self.kf_point, self.kf_valid, k)
+        counts = self._covis_cache.get(int(k))
+        if counts is None:
+            counts = native.covisibility_counts(self.kf_point, self.kf_valid, k,
+                                                n_points=self.cfg.max_points)
+            self._covis_cache[int(k)] = counts
         return {int(j): int(c) for j, c in enumerate(counts) if c >= min_weight}
 
     def best_covisible(self, k: int, n: int) -> List[int]:

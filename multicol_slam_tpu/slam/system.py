@@ -192,6 +192,17 @@ class MultiColSLAM:
             # tracker can never starve mapping.
             self._frame_idle = threading.Event()
             self._frame_idle.set()
+            # dispatch-budget gate: the worker earns ONE dispatch credit per
+            # tracked frame (capped burst of 4). Without any gate the worker
+            # back-to-back-fills the device with ~60 ms mapping programs and
+            # EVERY tracked frame queues behind one (paced p50 measured
+            # 15 -> 55 ms); a strict one-per-frame edge was measured to
+            # throttle mapping below the map's survival rate under backlog.
+            # Credits cap the tracker's worst queueing at a small burst while
+            # letting mapping spend accumulated idle frames. Bounded waits
+            # (0.2 s) keep mapping draining when tracking goes idle.
+            self._budget = 0
+            self._budget_cv = threading.Condition()
             self.mapper.yield_gate = self._yield_to_tracker
             if self.loop_closer is not None:
                 self.loop_closer.yield_gate = self._yield_to_tracker
@@ -318,6 +329,14 @@ class MultiColSLAM:
         finally:
             if self._frame_idle is not None:
                 self._frame_idle.set()
+                with self._budget_cv:
+                    # 2 credits per frame, small cap: mapping may spend ~2
+                    # bounded programs per camera period (its wall time per
+                    # keyframe then fits the keyframe interval, so the
+                    # NeedNewKeyFrame mapper-idle gate never starves the map)
+                    # while a tracked frame queues behind at most ~2 programs
+                    self._budget = min(self._budget + 2, 6)
+                    self._budget_cv.notify()
         self.last_feats = h.feats
         m.state = self.state
         m.pose = self.last_pose.copy()
@@ -350,16 +369,21 @@ class MultiColSLAM:
 
     def _yield_to_tracker(self):
         """Called by the mapping worker before each device dispatch: wait
-        (bounded) for the in-flight tracked frame to finish so tracking
-        kernels never queue behind mapping programs on the shared chip.
+        for the next tracked-frame edge (one dispatch per frame period) and
+        for any in-flight begin/finish to clear, so tracking kernels never
+        queue behind more than one mapping program on the shared chip.
         No-op when called from the tracking thread itself (the synchronous
-        mapper calls in _try_initialize would otherwise dead-wait on the
-        _frame_idle event the caller only sets after returning)."""
+        mapper calls in _try_initialize would otherwise dead-wait on events
+        the caller only sets after returning)."""
         if self._frame_idle is not None:
             import threading
 
             if threading.get_ident() == self._tracker_tid:
                 return
+            with self._budget_cv:
+                if self._budget <= 0:
+                    self._budget_cv.wait(timeout=0.2)
+                self._budget = max(self._budget - 1, 0)
             self._frame_idle.wait(timeout=0.05)
 
     # ------------------------------------------------------------------
@@ -686,6 +710,8 @@ class MultiColSLAM:
             # dies and auto-resets — the worker's latency is only affordable
             # once the local map is established. The reference has the same
             # property implicitly: its mapper keeps up while the map is tiny.
+            # (Bootstrap KF frames block ~1 s inline — a startup transient;
+            # real-time benchmarks report steady-state percentiles past it.)
             if int(s.kf_valid.sum()) > 5:
                 # hand off to the mapping worker (InsertMultiKeyFrame,
                 # cLocalMapping.cpp:131-137); refined poses/points flow back

@@ -38,6 +38,31 @@ void covisibility_counts(const int32_t* kf_point,  // [K, F]
   }
 }
 
+// Bitmap variant: a hash probe per table cell dominated the scan on large
+// maps (this runs 10+ times per tracked frame via the local-map assembly);
+// the caller passes the point-id capacity P for a dense membership bitmap.
+void covisibility_counts2(const int32_t* kf_point, const uint8_t* kf_valid,
+                          int64_t K, int64_t F, int64_t k, int64_t P,
+                          int32_t* counts /* [K] out */) {
+  std::vector<uint8_t> mask((size_t)P, 0);
+  const int32_t* row_k = kf_point + k * F;
+  for (int64_t f = 0; f < F; ++f) {
+    int32_t p = row_k[f];
+    if (p >= 0 && p < P) mask[p] = 1;
+  }
+  for (int64_t j = 0; j < K; ++j) {
+    counts[j] = 0;
+    if (j == k || !kf_valid[j]) continue;
+    const int32_t* row = kf_point + j * F;
+    int32_t c = 0;
+    for (int64_t f = 0; f < F; ++f) {
+      int32_t p = row[f];
+      if (p >= 0 && p < P && mask[p]) ++c;
+    }
+    counts[j] = c;
+  }
+}
+
 // n_obs[i] = number of (keyframe, feature) slots observing pt_ids[i].
 void count_observations(const int32_t* kf_point, const uint8_t* kf_valid,
                         int64_t K, int64_t F,
