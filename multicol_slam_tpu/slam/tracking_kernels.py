@@ -146,6 +146,11 @@ def project_and_match(
         ncos = jnp.sum(view * pts.normal[None], axis=-1) / jnp.maximum(dist, 1e-9)
         have_n = jnp.linalg.norm(pts.normal, axis=-1) > 1e-6
         cand = cand & (~have_n[None] | (ncos > 0.5))
+    # per-octave search window (cORBmatcher.cpp:326-392 WindowSearch scales
+    # its window by the keypoint's octave): the base radius grows with the
+    # level the point is PREDICTED to be observed at, so the wide
+    # TrackPreviousFrame fallback (radius 60/40, slam/system.py) inherits the
+    # same octave scaling as the narrow motion-model pass
     rad = radius * scale_factor ** pred_level.astype(jnp.float32)   # [C, L]
     BIGD = jnp.float32(1e9)
     masked = use_masks and pts.dmask is not None
